@@ -1,0 +1,237 @@
+package graft.core
+
+import graft.model.Item
+import graft.rules.Rules
+import ParserCommon._
+import scala.collection.mutable
+
+/**
+ * Competitive-procedure parser — semantics of the reference CompetitiveParser
+ * (app/pipeline/competitive_parser.py). Includes the structured key:value
+ * block path (R14) and the token-class table-line splitter (R13).
+ */
+object CompetitiveParser {
+
+  /** Throws PyTypeError (mirroring the reference's uncaught TypeError on
+    * `None * float` in _parse_structured_block) — callers treat it as a
+    * whole-parser error. */
+  def parse(text: String, tables: Seq[Tab]): Seq[Item] = {
+    val items = tables.zipWithIndex.flatMap { case (t, i) => parseTable(t, i) } ++
+      (if (text != null && text.nonEmpty) parseText(text) else Nil)
+    dedup(items).filter(validate)
+  }
+
+  // competitive_parser.py:134-202
+  private[core] def identifyColumns(table: Tab): Option[Map[String, Int]] = {
+    var mapping = mapBySynonyms(table.header, Rules.competitiveHeaderPatterns, clean = true).toMap
+    if (mapping.isEmpty) mapping = identifyByContent(table.header)
+    if (mapping.contains("name") && mapping.size >= 2) Some(mapping) else None
+  }
+
+  /** competitive_parser.py:163-202 — elif chain with no-overwrite guards. */
+  private def identifyByContent(header: IndexedSeq[Option[String]]): Map[String, Int] = {
+    val mapping = mutable.LinkedHashMap.empty[String, Int]
+    header.zipWithIndex.foreach { case (col, idx) =>
+      val s = Py.lower(Py.pyStr(col)).strip()
+      if (Seq("№", "номер", "n", "number").exists(s.contains)) {
+        // skip position-number columns
+      } else if (!mapping.contains("name") && Seq("наимен", "название", "описание", "товар").exists(s.contains))
+        mapping("name") = idx
+      else if (!mapping.contains("qty") && Seq("кол-во", "количество", "qty", "amount").exists(s.contains))
+        mapping("qty") = idx
+      else if (!mapping.contains("unit") && Seq("ед", "единица", "изм", "unit").exists(s.contains))
+        mapping("unit") = idx
+      else if (!mapping.contains("price") && Seq("цена", "стоимость", "price", "cost").exists(s.contains))
+        mapping("price") = idx
+      else if (!mapping.contains("total") && Seq("сумма", "итого", "total", "sum").exists(s.contains))
+        mapping("total") = idx
+    }
+    if (mapping.isEmpty && header.length >= 3)
+      Map("name" -> 1, "qty" -> 2, "price" -> 3)
+    else mapping.toMap
+  }
+
+  private def parseTable(table: Tab, tableIdx: Int): Seq[Item] =
+    try {
+      identifyColumns(table) match {
+        case Some(m) => parseWithMapping(table, m, tableIdx)
+        case None => parseByContent(table, tableIdx)
+      }
+    } catch { case _: Exception => Nil }
+
+  private def parseWithMapping(table: Tab, m: Map[String, Int], tableIdx: Int): Seq[Item] =
+    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
+      try {
+        if (rowIdx == 0) None // header skip is positional here (competitive_parser.py:210-212)
+        else {
+          val name = if (m.contains("name")) ilocStr(row, m("name")) else ""
+          val qty = if (m.contains("qty")) Num.parse(iloc(row, m("qty")).orNull) else Some(1.0)
+          val unit = if (m.contains("unit")) ilocStr(row, m("unit")) else ""
+          val price = if (m.contains("price")) Num.parse(iloc(row, m("price")).orNull) else Some(0.0)
+          val currency = if (m.contains("currency")) ilocStr(row, m("currency")) else "RUB"
+          val total0 = if (m.contains("total")) Num.parse(iloc(row, m("total")).orNull) else None
+          val supplier = if (m.contains("supplier")) ilocStr(row, m("supplier")) else ""
+          if (isEmptyName(name)) None
+          else if (isServiceRow(name, Rules.serviceRowShort)) None
+          else {
+            val total = backfillIfNone(total0, qty, price)
+            val cur = { val c = currency.strip(); if (c.nonEmpty) c else "RUB" }
+            val it = Item(name.strip(), "", qty, unit.strip(), price, cur, total,
+              supplier.strip(), s"table_${tableIdx}_row_$rowIdx", 0.95)
+            if (validate(it)) Some(it) else None
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+
+  // competitive_parser.py:257-341
+  private def parseByContent(table: Tab, tableIdx: Int): Seq[Item] =
+    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
+      if (rowIdx == 0) None
+      else {
+        val values = rowValues(row)
+        if (values.length >= 3)
+          try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None }
+        else None
+      }
+    }
+
+  private def parseRowValues(values: IndexedSeq[String], tableIdx: Int, rowIdx: Int): Option[Item] = {
+    if (values.length < 3) return None
+    val name = values(0)
+    val numbers = values.drop(1).flatMap(v => Num.parse(v))
+    if (numbers.length < 2) return None
+    val qty = numbers(0)
+    val price = numbers(1)
+    val total = if (numbers.length >= 3) numbers(2) else qty * price
+    val unit = values.drop(1).find(v => Rules.tokenUnits.exists(Py.lower(v).contains)).getOrElse("")
+    val currency = values.find(v => Rules.tokenCurrencies.exists(v.toUpperCase.contains))
+      .map(_.toUpperCase).getOrElse("RUB")
+    val it = Item(name, "", Some(qty), unit, Some(price), currency, Some(total), "",
+      s"table_${tableIdx}_row_$rowIdx", 0.8)
+    if (validate(it)) Some(it) else None
+  }
+
+  // -- text path (competitive_parser.py:343-455,612-679) --
+  private def parseText(text: String): Seq[Item] = {
+    val items = mutable.ArrayBuffer.empty[Item]
+    // structured key:value blocks first (T5/R14)
+    items ++= parseStructuredText(text)
+    text.split("\n", -1).zipWithIndex.foreach { case (raw, lineIdx) =>
+      val line = raw.strip()
+      if (passesPrefilter(line)) {
+        parseTableLine(line, lineIdx) match {
+          case Some(it) => items += it
+          case None =>
+            parseLine(line).foreach(it =>
+              items += it.copy(source = s"text_line_$lineIdx", confidence = 0.7))
+        }
+      }
+    }
+    items.toSeq
+  }
+
+  private def passesPrefilter(line: String): Boolean =
+    passesStrictLinePrefilter(line, Rules.headerLineCompetitive, Rules.serviceLineCompetitive)
+
+  /** R14 — key:value structured blocks (competitive_parser.py:387-455). */
+  private[core] def parseStructuredText(text: String): Seq[Item] = {
+    val blocks = text.split("\\n\\s*\\n", -1)
+    blocks.toIndexedSeq.filter(_.strip().nonEmpty).flatMap { block =>
+      parseStructuredBlock(block).map(_.copy(source = "structured_text", confidence = 0.9))
+    }
+  }
+
+  private def parseStructuredBlock(block: String): Option[Item] = {
+    var name: Option[String] = None
+    var qty: Option[Option[Double]] = None   // outer = key present, inner = parsed value
+    var unit: Option[String] = None
+    var price: Option[Option[Double]] = None
+    var currency: Option[String] = None
+    var total: Option[Option[Double]] = None
+    var supplier: Option[String] = None
+    block.strip().split("\n", -1).foreach { raw =>
+      val line = raw.strip()
+      if (line.nonEmpty && line.contains(":")) {
+        val Array(k, v) = line.split(":", 2)
+        val key = Py.lower(k.strip())
+        val value = v.strip()
+        if (Seq("наименование", "название", "товар").exists(key.contains)) name = Some(value)
+        else if (Seq("количество", "кол-во", "кол", "объем").exists(key.contains)) qty = Some(Num.parse(value))
+        else if (Seq("единица", "ед.изм", "ед").exists(key.contains)) unit = Some(value)
+        else if (Seq("цена", "стоимость", "тариф").exists(key.contains)) price = Some(Num.parse(value))
+        else if (Seq("валюта", "currency").exists(key.contains)) currency = Some(value)
+        else if (Seq("сумма", "итого", "стоимость", "общая").exists(key.contains)) total = Some(Num.parse(value))
+        else if (Seq("поставщик", "supplier", "компания").exists(key.contains)) supplier = Some(value)
+      }
+    }
+    if (name.isDefined && qty.isDefined && price.isDefined) {
+      val totalV: Option[Double] = total match {
+        case Some(t) => t // key present: keep as-is (may be None)
+        case None =>
+          // item_data['qty'] * item_data['price'] — TypeError when None
+          (qty.get, price.get) match {
+            case (Some(q), Some(p)) => Some(q * p)
+            case _ => throw new PyTypeError
+          }
+      }
+      Some(Item(name.get, "", qty.get, unit.getOrElse(""), price.get,
+        currency.getOrElse("RUB"), totalV, supplier.getOrElse(""), "", 0.0))
+    } else None
+  }
+
+  /** R13 — token-class table-line splitter (competitive_parser.py:612-679). */
+  private[core] def parseTableLine(line: String, lineIdx: Int): Option[Item] = {
+    try {
+      val parts = line.split("\\s+").filter(_.nonEmpty)
+      if (parts.length < 3) return None
+      val nameParts = parts.filter(p => Patterns.matchAt(Patterns.startsWithLetter, p))
+      val numberParts = parts.filter(p => Patterns.matchAt(Patterns.numericToken, p))
+      if (nameParts.isEmpty || numberParts.length < 2) return None
+      val name = nameParts.mkString(" ")
+      val qty = Num.parse(numberParts(0))
+      val price = Num.parse(numberParts(1))
+      if (qty.isEmpty || price.isEmpty) return None
+      val unit = parts.find(p => Rules.tokenUnits.exists(Py.lower(p).contains)).getOrElse("")
+      val currency = parts.find(p => Rules.tokenCurrencies.exists(p.toUpperCase.contains))
+        .map(_.toUpperCase).getOrElse("RUB")
+      val total = qty.get * price.get
+      val it = Item(name, "", qty, unit, price, currency, Some(total), "",
+        s"table_line_$lineIdx", 0.8)
+      if (validate(it)) Some(it) else None
+    } catch { case _: Exception => None }
+  }
+
+  private def parseLine(line: String): Option[Item] = {
+    Patterns.competitivePatterns.iterator.flatMap { p =>
+      val m = p.matcher(line)
+      if (!m.find()) None
+      else try {
+        var name = m.group("name").strip()
+        val qty = Num.parse(m.group("qty"))
+        var unit = Option(m.group("unit")).getOrElse("")
+        val price = Num.parse(m.group("price"))
+        val currency = Option(m.group("currency")).filter(_.nonEmpty).getOrElse("RUB")
+        var total: Option[Double] = None
+        if (hasGroup(p, "total")) {
+          val g = m.group("total")
+          if (g != null && g.nonEmpty) total = Num.parse(g)
+        }
+        if (total.isEmpty && truthy(qty) && truthy(price)) total = Some(qty.get * price.get)
+        name = name.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        if (unit.nonEmpty) {
+          unit = unit.strip()
+          unit = unit.replaceAll("[^\\w\\.]", "")
+        }
+        val it = Item(name, "", qty, unit, price, currency, total, "", "regex_match", 0.85)
+        if (validate(it)) Some(it) else None
+      } catch { case _: Exception => None }
+    }.nextOption()
+  }
+
+  private def hasGroup(p: java.util.regex.Pattern, g: String): Boolean =
+    p.pattern().contains(s"(?<$g>")
+
+  /** competitive_parser.py:577-591 — basic validation. */
+  def validate(it: Item): Boolean = validateBasic(it)
+}

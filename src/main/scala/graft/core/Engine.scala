@@ -1,0 +1,178 @@
+package graft.core
+
+import graft.model._
+import graft.rules.Rules
+import ParserCommon.PyTypeError
+
+/**
+ * The per-turn extraction engine: runs all seven parsers over a turn's text
+ * payload (semantics of UniversalParser.parse_document,
+ * app/pipeline/universal_parser.py:76-295), selects the best parser (A3),
+ * classifies the document (A4) and scores quality (A5/F9).
+ *
+ * Pure and deterministic — one turn in, one [[TurnResult]] out. The Spark
+ * layer maps this over partitions; no state is shared across turns, which is
+ * what makes the pipeline embarrassingly parallel (map-only, zero shuffles)
+ * at 10^12-turn scale.
+ */
+object Engine {
+
+  val parserOrder: Seq[String] = Seq(
+    "commercial", "invoice", "competitive", "universal",
+    "supplier_profile", "table_extractor", "precise_table_parser")
+
+  def parseTurn(convId: String, turnIdx: Int, text: String): TurnResult = {
+    val t = if (text == null) "" else text
+    val seg = Segmentation.segment(t)
+    val tables = seg.tables
+
+    def run(name: String)(f: => Seq[Item]): ParserResult =
+      try {
+        val items = f
+        // the reference computes sum(item['total']) inside each parser's
+        // try block (universal_parser.py:127-132); a None total raises
+        // TypeError there and turns the whole parser into an error result
+        if (items.exists(_.total.isEmpty)) throw new PyTypeError
+        ParserResult(name, items, error = false)
+      } catch { case _: Exception => ParserResult(name, Nil, error = true) }
+
+    val profileRes =
+      try {
+        val r = SupplierProfiles.parseWithProfile(t, tables)
+        if (r.items.exists(_.total.isEmpty)) throw new PyTypeError
+        Some(r)
+      } catch { case _: Exception => None }
+
+    val results: Seq[ParserResult] = Seq(
+      run("commercial")(CommercialParser.parse(t, tables)),
+      run("invoice")(InvoiceParser.parse(t, tables)),
+      run("competitive")(CompetitiveParser.parse(t, tables)),
+      run("universal")(UniversalCoreParser.parse(t, tables)),
+      profileRes match {
+        case Some(r) => ParserResult("supplier_profile", r.items, error = false)
+        case None => ParserResult("supplier_profile", Nil, error = true)
+      },
+      run("table_extractor")(TableExtractor.parse(tables)),
+      run("precise_table_parser")(PreciseTableParser.parse(tables)))
+
+    val best = selectBest(results)
+
+    val docType = detectDocumentType(t)
+    val (invS, comS, cmpS, conS) = documentTypeScores(t)
+    val (tq, tabq, oq) = quality(t, tables)
+
+    TurnResult(
+      conv_id = convId,
+      turn_idx = turnIdx,
+      n_chars = t.length,
+      n_lines = seg.lines.length,
+      n_tables = tables.length,
+      has_text = t.strip().length >= Rules.minTextLength,
+      needs_fallback = needsFallback(t, tables),
+      doc_type = docType,
+      invoice_score = invS, commercial_score = comS,
+      competitive_score = cmpS, contract_score = conS,
+      text_quality = tq, table_quality = tabq, overall_quality = oq,
+      best_parser = best.parser,
+      best_count = best.count,
+      best_total_cost = best.totalCost,
+      best_avg_confidence = best.avgConf,
+      supplier_id = profileRes.flatMap(r => Option(r.supplierId)).getOrElse(""),
+      parser_stats = results.map(r => ParserStat(r.parser, r.count, statTotal(r), r.avgConfidence)),
+      best_items = best.items,
+      extracted_text = Segmentation.assembleText(t),
+      blocks = Segmentation.blocks(t))
+  }
+
+  /** sum(item['total']) per parser (A2 stats); error parsers report 0 and
+    * run() guarantees surviving parsers carry no None totals. */
+  private def statTotal(r: ParserResult): Double =
+    if (r.error) 0.0 else r.items.flatMap(_.total).sum
+
+  final case class Best(parser: String, items: Seq[Item], count: Int, totalCost: Double, avgConf: Double)
+
+  /** A3 — best-parser selection (universal_parser.py:219-287). */
+  def selectBest(results: Seq[ParserResult]): Best = {
+    var bestParser = ""
+    var bestCount = 0
+    var bestItems: Seq[Item] = Nil
+    var bestTotal = 0.0
+    var bestConf = 0.0
+    results.foreach { r =>
+      if (!r.error) {
+        val count = r.count
+        val valid = r.items.filter(isBestSelectable)
+        var validCount = valid.length
+        if (r.parser == "competitive" && validCount < count * 0.5) validCount = 0
+        if (r.parser == "precise_table_parser" && validCount > 0) validCount *= 2
+        if (validCount > bestCount) {
+          bestCount = validCount
+          bestParser = r.parser
+          bestItems = valid
+          bestTotal = sumTotals(valid)
+          bestConf = if (valid.nonEmpty) valid.map(_.confidence).sum / valid.length else 0.0
+        }
+      }
+    }
+    Best(bestParser, bestItems, bestCount, bestTotal, bestConf)
+  }
+
+  private def sumTotals(items: Seq[Item]): Double =
+    items.map(_.total.getOrElse(throw new PyTypeError)).sum
+
+  /** The selection-time item filter (universal_parser.py:244-257). */
+  def isBestSelectable(it: Item): Boolean = {
+    val name = Py.lower(String.valueOf(it.name))
+    if (Py.containsAny(name, Rules.bestSelectionServiceWords)) return false
+    if (name.strip().length <= 10) return false
+    if (!name.exists(_.isLetter)) return false
+    Py.containsAny(name, Rules.bestSelectionProductWords)
+  }
+
+  /** Simple 3-class doc-type detection (universal_parser.py:833-848). */
+  def detectDocumentType(text: String): String = {
+    val lower = Py.lower(text)
+    if (Py.containsAny(lower, Rules.docTypeCommercial)) "commercial_proposal"
+    else if (Py.containsAny(lower, Rules.docTypeInvoice)) "invoice"
+    else if (Py.containsAny(lower, Rules.docTypeCompetitive)) "competitive_procedure"
+    else "unknown"
+  }
+
+  /** A4 — 4-class keyword-hit scores, normalized (ocr_processor.py:209-275).
+    * Returned as (invoice, commercial, competitive, contract). */
+  def documentTypeScores(text: String): (Double, Double, Double, Double) = {
+    val lower = Py.lower(text)
+    def hits(words: Seq[String]): Double = words.count(lower.contains).toDouble
+    val inv = hits(Rules.scoreInvoiceKeywords)
+    val com = hits(Rules.scoreCommercialKeywords)
+    val cmp = hits(Rules.scoreCompetitiveKeywords)
+    val con = hits(Rules.scoreContractKeywords)
+    val total = inv + com + cmp + con
+    if (total > 0) (inv / total, com / total, cmp / total, con / total)
+    else (0.0, 0.0, 0.0, 0.0)
+  }
+
+  /** A5 — quality validation (ocr_processor.py:277-321):
+    * (text_quality, table_quality, overall). */
+  def quality(text: String, tables: Seq[Tab]): (Double, Double, Double) = {
+    val tq =
+      if (text != null && text.nonEmpty) {
+        val lower = Py.lower(text)
+        Rules.validationKeyElements.count(lower.contains).toDouble / Rules.validationKeyElements.length
+      } else 0.0
+    val tabq =
+      if (tables.nonEmpty)
+        tables.count(t => t.rows.length > 1 && t.nCols > 2).toDouble / tables.length
+      else 0.0
+    (tq, tabq, (tq + tabq) / 2)
+  }
+
+  /** F9 — OCR-needed gate (enhanced_extractor.py:248-277). */
+  def needsFallback(text: String, tables: Seq[Tab]): Boolean = {
+    if (text.strip().length < 100) return true
+    val lower = Py.lower(text)
+    if (Rules.qualityGateKeywords.count(lower.contains) < 2) return true
+    if (tables.nonEmpty && !tables.exists(t => t.rows.length > 1 && t.nCols > 2)) return true
+    false
+  }
+}

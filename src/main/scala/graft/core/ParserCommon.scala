@@ -1,0 +1,156 @@
+package graft.core
+
+import graft.model.Item
+import graft.rules.Rules
+import scala.collection.mutable
+
+/** Shared parser machinery (the reference duplicates all of this per parser;
+  * one canonical copy here). */
+object ParserCommon {
+
+  /** First-occurrence-wins dedup on (lower(strip(name)), qty, price)
+    * (app/pipeline/parser.py:299-314). Order-dependent by design. */
+  def dedup(items: Seq[Item]): Seq[Item] = {
+    val seen = mutable.HashSet.empty[(String, Option[Double], Option[Double])]
+    val out = mutable.ArrayBuffer.empty[Item]
+    items.foreach { it =>
+      val key = (Py.lower(it.name).strip(), it.qty, it.price)
+      if (seen.add(key)) out += it
+    }
+    out.toSeq
+  }
+
+  /** Header-synonym column mapping, break-on-first-field style
+    * (parser.py:131-150 / universal_parser.py:470-493 / commercial / competitive):
+    * per column, the FIRST field whose synonym hits wins for that column;
+    * a later column overwrites an earlier column's claim on the same field.
+    * @param clean whether to apply the [^\w\s]->space cleanup first */
+  def mapBySynonyms(header: IndexedSeq[Option[String]],
+                    fields: Seq[(String, Seq[String])],
+                    clean: Boolean): mutable.LinkedHashMap[String, Int] = {
+    val mapping = mutable.LinkedHashMap.empty[String, Int]
+    header.zipWithIndex.foreach { case (col, idx) =>
+      val raw = Py.lower(Py.pyStr(col)).strip()
+      val colStr = if (clean) Py.cleanColName(Py.pyStr(col)) else raw
+      var claimed = false
+      fields.foreach { case (field, synonyms) =>
+        if (!claimed && synonyms.exists(s => colStr.contains(Py.lower(s)))) {
+          mapping(field) = idx
+          claimed = true
+        }
+      }
+    }
+    mapping
+  }
+
+  /** Elif-chain column mapping (invoice_parser.py:100-132 style): a column is
+    * tested against field word-lists in order, first hit wins for the column;
+    * None headers skipped; later columns overwrite. Optionally collapse
+    * whitespace in the header first (precise parser). */
+  def mapByElifChain(header: IndexedSeq[Option[String]],
+                     fields: Seq[(String, Seq[String])],
+                     collapseWs: Boolean = false): mutable.LinkedHashMap[String, Int] = {
+    val mapping = mutable.LinkedHashMap.empty[String, Int]
+    header.zipWithIndex.foreach { case (col, idx) =>
+      col match {
+        case None => // pd.isna(col) -> continue
+        case Some(c) =>
+          var s = Py.lower(c)
+          if (collapseWs) s = Py.collapseWs(s)
+          fields.collectFirst { case (f, words) if words.exists(s.contains) => f }
+            .foreach(f => mapping(f) = idx)
+      }
+    }
+    mapping
+  }
+
+  /** Row cell by mapped index: mirrors `row.iloc[i]`; an out-of-range index
+    * raises in pandas -> the reference skips the row (per-row try/except). */
+  final class RowIndexError extends RuntimeException
+  def iloc(row: IndexedSeq[Option[String]], i: Int): Option[String] =
+    if (i < 0 || i >= row.length) throw new RowIndexError else row(i)
+
+  /** `str(row.iloc[i])` (missing -> "None"). */
+  def ilocStr(row: IndexedSeq[Option[String]], i: Int): String = Py.pyStr(iloc(row, i))
+
+  /** Non-null, non-empty stripped cell values of a row (the content-fallback
+    * `row_values` collection, invoice_parser.py:256-259). */
+  def rowValues(row: IndexedSeq[Option[String]]): IndexedSeq[String] =
+    row.flatten.map(_.strip()).filter(_.nonEmpty)
+
+  def isEmptyName(name: String): Boolean = {
+    val s = name.strip()
+    s.isEmpty || s == "nan" || s == "None"
+  }
+
+  /** Python truthiness of Option[Double]: None or 0.0 -> false. */
+  def truthy(v: Option[Double]): Boolean = v.exists(_ != 0.0)
+
+  /** `total if total else qty * price` with Python falsy semantics; throws
+    * (like Python TypeError on None arithmetic) when qty/price is None —
+    * callers mirror the reference's local try/except. */
+  final class PyTypeError extends RuntimeException
+  def backfillFalsy(total: Option[Double], qty: Option[Double], price: Option[Double]): Option[Double] =
+    if (truthy(total)) total
+    else (qty, price) match {
+      case (Some(q), Some(p)) => Some(q * p)
+      case _ => throw new PyTypeError
+    }
+
+  /** `if item['total'] is None and item['qty'] and item['price']: total=qty*price` */
+  def backfillIfNone(total: Option[Double], qty: Option[Double], price: Option[Double]): Option[Double] =
+    if (total.isDefined) total
+    else if (truthy(qty) && truthy(price)) Some(qty.get * price.get)
+    else total
+
+  /** Shared basic validation (parser.py:283-297): name len>=2, qty/price
+    * present and > 0. */
+  def validateBasic(it: Item): Boolean =
+    it.name != null && it.name.strip().length >= 2 &&
+      it.qty.isDefined && it.price.isDefined &&
+      it.qty.get > 0 && it.price.get > 0
+
+  /** Strict item validation used by universal/commercial parsers
+    * (universal_parser.py:773-813): falsy name/qty/price reject; service
+    * words; >=2 letters; positive; name length >= 5 (on the lowered name). */
+  def validateStrict(it: Item, serviceWords: Seq[String]): Boolean = {
+    if (it.name == null || it.name.isEmpty || !truthy(it.qty) || !truthy(it.price)) return false
+    val name = Py.lower(it.name)
+    if (Py.containsAny(name, serviceWords)) return false
+    if (!Patterns.search(Patterns.hasLetter2, name)) return false
+    if (it.qty.get <= 0 || it.price.get <= 0) return false
+    if (name.strip().length < 5) return false
+    true
+  }
+
+  /** Product-plausibility validation (table_extractor.py:218-256):
+    * strict checks + product pattern / tech-spec whitelist. */
+  def validateProduct(it: Item, excludeWords: Seq[String]): Boolean = {
+    if (it.name == null || it.name.isEmpty || !truthy(it.qty) || !truthy(it.price)) return false
+    val name = Py.lower(it.name)
+    if (Py.containsAny(name, excludeWords)) return false
+    if (!Patterns.search(Patterns.hasLetter2, name)) return false
+    if (it.qty.get <= 0 || it.price.get <= 0) return false
+    if (name.strip().length < 5) return false
+    if (Patterns.productPatterns.exists(p => Patterns.search(p, name))) return true
+    if (Patterns.search(Patterns.techSpecDim, name) || Patterns.search(Patterns.techSpecUnit, name)) return true
+    false
+  }
+
+  /** Common text-line prefilter used by invoice/commercial text paths
+    * (invoice_parser.py:348-362): strip, len>=10, not header/service line,
+    * not all-numeric, has a letter, no itogo phrase. */
+  def passesStrictLinePrefilter(line: String, headerWords: Seq[String], serviceWords: Seq[String]): Boolean = {
+    if (line.isEmpty || line.length < Rules.minLineLength) return false
+    val lower = Py.lower(line)
+    if (Py.containsAny(lower, headerWords) || Py.containsAny(lower, serviceWords)) return false
+    if (Patterns.matchAt(Patterns.allNumericLine, line)) return false
+    if (!Patterns.search(Patterns.hasLetter, line)) return false
+    if (Patterns.search(Patterns.itogoLine, lower)) return false
+    true
+  }
+
+  /** Service-row check on an item name. */
+  def isServiceRow(name: String, words: Seq[String]): Boolean =
+    Py.containsAny(Py.lower(name), words)
+}

@@ -1,0 +1,99 @@
+package graft.core
+
+import scala.collection.mutable
+
+/**
+ * Turn-payload segmentation: line splitting (T1), blank-line block splitting
+ * (T5), and table-region detection by whitespace-column clustering (T3 —
+ * the text-payload analog of the reference's pdfplumber char clustering,
+ * app/pipeline/extractor.py:193-220, gap threshold there 20px; here a run of
+ * >=2 spaces is a column gap).
+ *
+ * A detected region becomes a [[Tab]]: first row = header (pandas `columns`),
+ * rest = rows, padded rectangular, with the reference's `_page` / `_table_id`
+ * metadata columns appended (extractor.py:93-94) — their presence is
+ * semantically significant for positional column layouts.
+ */
+object Segmentation {
+
+  private val cellGap = "\\s{2,}"
+
+  final case class Segmented(lines: IndexedSeq[String], blocks: IndexedSeq[String], tables: IndexedSeq[Tab])
+
+  def segment(text: String): Segmented = {
+    val lines: IndexedSeq[String] =
+      if (text == null || text.isEmpty) IndexedSeq.empty
+      else text.split("\n", -1).toIndexedSeq
+    Segmented(lines, blocks(text), tables(lines))
+  }
+
+  /** T5: blank-line separated blocks, trimmed, empties dropped. */
+  def blocks(text: String): IndexedSeq[String] =
+    if (text == null || text.isEmpty) IndexedSeq.empty
+    else text.split("\\n\\s*\\n", -1).toIndexedSeq.map(_.strip()).filter(_.nonEmpty)
+
+  /** The engine's normalized per-turn text: blocks of trimmed non-empty
+    * lines joined with "\n", blocks joined with "\n\n" (span assembly —
+    * the byte-compared "extracted text" of the north rule). */
+  def assembleText(text: String): String =
+    blocks(text).map { b =>
+      b.split("\n", -1).map(_.strip()).filter(_.nonEmpty).mkString("\n")
+    }.mkString("\n\n")
+
+  /** T3: whitespace-column table regions. A line is tabular when its trimmed
+    * form splits into >=2 cells on runs of >=2 spaces; a run of >=2
+    * consecutive tabular lines is a region. */
+  def tables(lines: IndexedSeq[String]): IndexedSeq[Tab] = {
+    val out = mutable.ArrayBuffer.empty[Tab]
+    var runStart = -1
+    var tableId = 0
+
+    def flush(endExclusive: Int): Unit = {
+      if (runStart >= 0 && endExclusive - runStart >= 2) {
+        val grid = (runStart until endExclusive).map(i => splitCells(lines(i)))
+        val width = grid.map(_.length).max
+        val padded = grid.map(r => r.padTo(width, None: Option[String]))
+        val header = padded.head
+        val rows = padded.tail
+        if (isValidGrid(header, rows)) {
+          tableId += 1
+          // append _page / _table_id meta columns (single-payload page = 1)
+          val metaHeader = header ++ IndexedSeq(Some("_page"), Some("_table_id"))
+          val metaRows = rows.map(r => r ++ IndexedSeq(Some("1"), Some(tableId.toString)))
+          out += Tab(metaHeader, metaRows)
+        }
+      }
+      runStart = -1
+    }
+
+    var i = 0
+    while (i < lines.length) {
+      if (isTabular(lines(i))) { if (runStart < 0) runStart = i }
+      else flush(i)
+      i += 1
+    }
+    flush(lines.length)
+    out.toIndexedSeq
+  }
+
+  private def isTabular(line: String): Boolean =
+    splitCells(line).length >= 2
+
+  private def splitCells(line: String): IndexedSeq[Option[String]] =
+    line.strip().split(cellGap, -1).toIndexedSeq.map { c =>
+      val s = c.strip()
+      if (s.isEmpty) None else Some(s)
+    }
+
+  /** is_valid_table (extractor.py:222-249): >=1 row, >=2 cols, >=2 non-empty
+    * headers, >=1 row with any non-empty cell. */
+  private def isValidGrid(header: IndexedSeq[Option[String]],
+                          rows: IndexedSeq[IndexedSeq[Option[String]]]): Boolean = {
+    if (rows.isEmpty) return false
+    if (header.length < 2) return false
+    val nonEmptyCols = header.count(_.exists(_.strip().nonEmpty))
+    if (nonEmptyCols < 2) return false
+    val nonEmptyRows = rows.count(_.exists(_.isDefined))
+    nonEmptyRows >= 1
+  }
+}

@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/**
+ * Chunked, manifest-committed, exactly-resumable extraction runs
+ * (SURVEY.md §4 item 2; north rule "resumable from checkpoint with
+ * per-partition lineage + metrics").
+ *
+ * The input is split into `nChunks` deterministic chunks by conv_id hash
+ * (a conversation never straddles chunks). Each chunk is one Spark job:
+ * extract -> salted repartition -> write `out/chunk=<k>/`, then the driver
+ * commits `manifest/chunk-<k>.json` (atomic tmp+rename) carrying lineage
+ * (chunk predicate, input), row/byte counts and an order-independent
+ * content checksum captured via `Observation` in the same pass — no second
+ * scan. A re-run skips every committed chunk: exact resume.
+ *
+ * At 100 TB each chunk is an Iceberg-snapshot-sized commit unit; the
+ * within-chunk salting keeps hot conversations off single tasks.
+ */
+object Manifests {
+
+  final case class ChunkManifest(chunk: Int, rows: Long, bytes: Long, checksum: Long,
+                                 input: String, predicate: String)
+
+  private def manifestPath(outDir: String, k: Int): Path =
+    Paths.get(outDir, "manifest", f"chunk-$k%05d.json")
+
+  def isCommitted(outDir: String, k: Int): Boolean = Files.exists(manifestPath(outDir, k))
+
+  private def commit(outDir: String, m: ChunkManifest): Unit = {
+    val dir = Paths.get(outDir, "manifest")
+    Files.createDirectories(dir)
+    val json =
+      s"""{"chunk":${m.chunk},"rows":${m.rows},"bytes":${m.bytes},"checksum":${m.checksum},""" +
+      s""""input":"${m.input}","predicate":"${m.predicate}"}"""
+    val tmp = dir.resolve(f".chunk-${m.chunk}%05d.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(outDir, m.chunk), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifests(outDir: String): Seq[ChunkManifest] = {
+    val dir = Paths.get(outDir, "manifest")
+    if (!Files.exists(dir)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("chunk-\\d+\\.json")).toSeq.sortBy(_.toString)
+      .map { p =>
+        val s = Files.readString(p)
+        def num(k: String): Long = s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
+        ChunkManifest(num("chunk").toInt, num("rows"), num("bytes"), num("checksum"), "", "")
+      }
+  }
+
+  /**
+   * Run the extraction over `turns` resumably. Returns the number of chunks
+   * actually executed (committed chunks are skipped).
+   */
+  def resumableExtract(spark: SparkSession, turns: DataFrame, outDir: String,
+                       nChunks: Int, numPartitions: Int, salt: Int,
+                       inputDesc: String = "transcripts"): Int = {
+    var ran = 0
+    (0 until nChunks).foreach { k =>
+      if (!isCommitted(outDir, k)) {
+        val predicate = s"pmod(xxhash64(conv_id), $nChunks) = $k"
+        val chunk = turns.where(expr(predicate))
+        val extracted = graft.Pipeline.extractTurns(chunk).toDF()
+        val salted = graft.skew.Salt.saltedRepartition(extracted, numPartitions, salt)
+        val obs = Observation(s"chunk-$k")
+        val observed = salted.observe(obs,
+          count(lit(1)).as("rows"),
+          coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"),
+          coalesce(sum(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
+            .as("checksum"))
+        observed.write.mode("overwrite").parquet(s"$outDir/chunk=$k")
+        val m = obs.get
+        commit(outDir, ChunkManifest(k,
+          m("rows").asInstanceOf[Long], m("bytes").asInstanceOf[Long],
+          m("checksum").asInstanceOf[Long], inputDesc, predicate))
+        ran += 1
+      }
+    }
+    ran
+  }
+}

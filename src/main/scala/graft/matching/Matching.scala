@@ -1,0 +1,69 @@
+package graft.matching
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.rules.Rules
+
+/**
+ * J1/J2 — fuzzy SKU matching as a broadcast similarity join
+ * (reference app/pipeline/matcher.py:40-158).
+ *
+ * Physical shape for 100 TB: the products dimension is tiny (the reference
+ * loads it fully into memory, matcher.py:24-38) -> `broadcast()` +
+ * BroadcastNestedLoopJoin; the fact side streams through map tasks, no
+ * shuffle except the final per-item top-k window, which is partitioned by
+ * the item key and therefore skew-free.
+ */
+object Matching {
+
+  val wratioUdf = udf((a: String, b: String) => Fuzzy.wratio(a, b))
+
+  /** Levenshtein-based ratio — SQL-expressible scorer variant used for the
+    * DuckDB oracle (same formula both sides): (1 - lev/greatest(len)) * 100
+    * over lowercase inputs. */
+  def levRatio(a: Column, b: Column): Column = {
+    val la = lower(a); val lb = lower(b)
+    round(lit(100.0) * (lit(1.0) - levenshtein(la, lb).cast("double") /
+      greatest(length(la), length(lb)).cast("double")), 2)
+  }
+
+  /**
+   * Top-k fuzzy matches per item (matcher.py find_matches: limit=3,
+   * keep score >= suggest threshold, flag auto at >= auto threshold).
+   *
+   * @param items    fact side with an `itemKey` id column and `name`
+   * @param products dimension (product_id, sku, name)
+   */
+  def topMatches(items: DataFrame, products: DataFrame,
+                 itemKeyCols: Seq[String], nameCol: String = "name",
+                 limit: Int = 3,
+                 suggest: Double = Rules.suggestThreshold,
+                 auto: Double = Rules.autoMatchThreshold): DataFrame = {
+    val prods = products.select(
+      col("product_id"), col("sku").as("match_sku"), col("name").as("match_name"))
+    val scored = items
+      .crossJoin(broadcast(prods))
+      .withColumn("score", wratioUdf(col(nameCol), col("match_name")))
+    val w = Window.partitionBy(itemKeyCols.map(col): _*)
+      .orderBy(desc("score"), asc("product_id")) // deterministic tie-break
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= limit && col("score") >= suggest)
+      .withColumn("is_auto_match", col("score") >= auto)
+  }
+
+  /** J2 batch matcher: best suggestion folded onto each item row
+    * (matcher.py:121-158). */
+  def batchMatch(items: DataFrame, products: DataFrame,
+                 itemKeyCols: Seq[String], nameCol: String = "name"): DataFrame = {
+    val best = topMatches(items, products, itemKeyCols, nameCol, limit = 1)
+      .select((itemKeyCols.map(col) :+ col("match_sku").as("sku_suggestion")
+        :+ col("score").as("confidence_score") :+ col("is_auto_match").as("is_auto_matched")
+        :+ col("product_id")): _*)
+    items.join(best, itemKeyCols, "left")
+      .withColumn("confidence_score", coalesce(col("confidence_score"), lit(0.0)))
+      .withColumn("is_auto_matched", coalesce(col("is_auto_matched"), lit(false)))
+      .withColumn("sku", when(col("is_auto_matched"), col("sku_suggestion")))
+  }
+}

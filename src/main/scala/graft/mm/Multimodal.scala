@@ -1,0 +1,73 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+ * columns with typed metadata, processed batch-wise in mapPartitions.
+ *
+ * The actual codecs are NOT available in this environment, so the decode
+ * step is a clearly-marked DETERMINISTIC STUB (`FakeDecoder`) — the
+ * Spark-side contract (schema, batching, partitioning, null-safety) is
+ * real and tested; swap `FakeDecoder.decode` for a real codec binding to
+ * productionize.
+ */
+object Multimodal {
+
+  final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** ====== STUB ====== deterministic fake decoder: derives "dimensions"
+    * from the payload bytes. Replace with a real image/audio decode. */
+  object FakeDecoder {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val w = 64 + Math.floorMod(h, 1024L).toInt
+      val ht = 64 + Math.floorMod(h >>> 17, 1024L).toInt
+      val frames = if (kind == "video") 1 + Math.floorMod(h >>> 33, 240L).toInt else 1
+      (w, ht, frames)
+    }
+    def checksum(bytes: Array[Byte]): Long = {
+      var h = -7046029254386353131L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ bytes(i)) * 1099511628211L; i += 1 }
+      h
+    }
+  }
+
+  /** Synthesize a deterministic media table from any text column (test
+    * stand-in for a real binary payload source). */
+  def synthesizeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Batched metadata extraction over the binary column (mapPartitions —
+    * one decoder instance per partition, the real-codec shape). */
+  def extractMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here (real codecs are heavy)
+        it.map { case (id, kind, bytes) =>
+          val safe = if (bytes == null) Array.emptyByteArray else bytes
+          val (w, h, f) = FakeDecoder.decode(kind, safe)
+          MediaMeta(id, kind, safe.length.toLong, w, h, f, FakeDecoder.checksum(safe))
+        }
+      }
+  }
+
+  /** Frame sampling plan for videos: every `stride`-th frame index —
+    * declarative explode, no decode needed to plan. */
+  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
+    meta.where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

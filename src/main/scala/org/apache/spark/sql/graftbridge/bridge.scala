@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into Spark's `private[sql]` Column<->Expression converters
+ * (Spark 4 moved Column off Expression onto ColumnNode). Lives under
+ * org.apache.spark.sql so the package-private ExpressionUtils is visible —
+ * the standard pattern for third-party Catalyst expression libraries.
+ */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
