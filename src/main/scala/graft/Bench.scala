@@ -28,13 +28,45 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Count-based full materialization of the extraction over n synthetic
-    * turns, generated with `cpus*3` input partitions so both runs see the
-    * same data with proportional task counts. */
-  private def extractionRun(spark: SparkSession, n: Long, cpus: Int): Double = {
-    val turns = graft.io.Transcripts.generate(spark, n, partitions = cpus * 3).toDF()
-    time(Pipeline.extractTurns(turns).toDF()
-      .selectExpr("sum(best_count)", "sum(length(extracted_text))").collect())
+  final case class PinnedResult(bestSec: Double, ceilingOps: Double)
+
+  /** Run [[ScalingRunner]] in a child JVM pinned to `cpus` CPUs (taskset):
+    * the honest N-core-executor emulation — see ScalingRunner scaladoc.
+    * Returns best extraction seconds + the machine-ceiling ops/s at that
+    * thread count. Identical JVM config (ParallelGC, large young gen — the
+    * right collector for this allocation-heavy batch shape) at both levels,
+    * per the "same job, two parallelism levels" rule. */
+  private def pinnedRun(cpus: Int, n: Long, reps: Int): PinnedResult = {
+    val javaHome = System.getProperty("java.home")
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val totalGb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getTotalMemorySize / (1L << 30)
+    val (xmx, xmn) = if (totalGb >= 64) ("24g", "16g") else ("8g", "5g")
+    val javaCmd = Seq(s"$javaHome/bin/java") ++ addOpens ++ Seq(
+      "-XX:+UseParallelGC", s"-Xmx$xmx", s"-Xmn$xmn",
+      "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.ScalingRunner", cpus.toString, n.toString, reps.toString)
+    val cmd =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}") ++ javaCmd
+      else javaCmd
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    proc.waitFor()
+    val best = "best_sec=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+      .getOrElse(throw new RuntimeException(s"scaling child failed:\n${out.takeRight(2000)}"))
+    val ceiling = "ops_per_sec=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+      .getOrElse(0.0)
+    PinnedResult(best, ceiling)
   }
 
   def main(args: Array[String]): Unit = {
@@ -43,19 +75,29 @@ object Bench {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val nTurns = math.max(2000L, (sf * 1000000).toLong) // sf0.1 -> 100k turns
 
-    // -- scaling evidence: same input, N/4 vs N cores --------------------
+    // -- scaling evidence: same input, CPU-pinned N/4- vs N-core JVMs.
+    // The sandbox VM's CPU delivery jitters +-30% between runs, so run two
+    // interleaved rounds per config and keep the best (least-interference)
+    // sample of each.
     val small = math.max(1, cpus / 4)
-    val sSmall = session(small)
-    extractionRun(sSmall, math.min(nTurns, 20000L), small) // warmup JIT
-    val tSmall = extractionRun(sSmall, nTurns, small)
-    sSmall.stop()
+    val rounds = Seq(
+      (pinnedRun(small, nTurns, reps = 3), pinnedRun(cpus, nTurns, reps = 3)),
+      (pinnedRun(small, nTurns, reps = 3), pinnedRun(cpus, nTurns, reps = 3)))
+    val rSmall = rounds.map(_._1).minBy(_.bestSec)
+    val rBig = rounds.map(_._2).minBy(_.bestSec)
+    val thrSmall = nTurns / rSmall.bestSec
+    val thrBig = nTurns / rBig.bestSec
+    val factor = cpus.toDouble / small
+    val efficiency = thrBig / (thrSmall * factor)
+    // single-box thread-scaling ceiling for string work (see ScalingRunner):
+    // the cluster-predictive number is efficiency normalized by it
+    val ceilSmall = rounds.map(_._1.ceilingOps).max
+    val ceilBig = rounds.map(_._2.ceilingOps).max
+    val ceilingEff =
+      if (ceilSmall > 0 && ceilBig > 0) ceilBig / (ceilSmall * factor) else 1.0
+    val normalizedEff = efficiency / ceilingEff
 
     val spark = session(cpus)
-    extractionRun(spark, math.min(nTurns, 20000L), cpus) // warmup
-    val tBig = extractionRun(spark, nTurns, cpus)
-    val thrSmall = nTurns / tSmall
-    val thrBig = nTurns / tBig
-    val efficiency = thrBig / (thrSmall * (cpus.toDouble / small))
 
     // -- per-query timings on the sf dir ---------------------------------
     val benchQueries = Seq(
@@ -76,9 +118,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
       f"""{"cores_small":$small,"cores_big":$cpus,"turns":$nTurns,""" +
-      f""""sec_small":$tSmall%.3f,"sec_big":$tBig%.3f,""" +
+      f""""sec_small":${rSmall.bestSec}%.3f,"sec_big":${rBig.bestSec}%.3f,""" +
       f""""turns_per_sec_small":$thrSmall%.1f,"turns_per_sec_big":$thrBig%.1f,""" +
-      f""""efficiency":$efficiency%.3f}"""
+      f""""efficiency":$efficiency%.3f,""" +
+      f""""machine_ceiling_efficiency":$ceilingEff%.3f,""" +
+      f""""efficiency_vs_ceiling":$normalizedEff%.3f}"""
     val totalS = f"$total%.3f"
     val thrS = f"$thrBig%.1f"
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","turns_per_sec":$thrS,"scaling":$scaling}""")

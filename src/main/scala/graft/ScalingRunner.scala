@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Single-configuration scaling measurement: runs the extraction job at one
+ * parallelism level and prints the best steady-state throughput. Launched
+ * by [[Bench]] in a CPU-pinned child JVM (taskset) so an N-core run is a
+ * faithful N-core executor emulation — without pinning, a local[N] JVM on a
+ * 4N-core host runs GC/JIT on the idle cores and inflates the small-N
+ * baseline, understating true cluster scaling efficiency.
+ */
+object ScalingRunner {
+
+  /** Machine-ceiling microbenchmark: a pure `threads`-way regex+string loop
+    * with no Spark, no shared state and near-zero allocation amortization —
+    * the best thread-scaling this box can physically deliver for
+    * string-processing work. On a virtualized single-socket host, memory
+    * bandwidth caps this well below 1.0; the extraction's measured
+    * efficiency should be read against this ceiling (a real 4N-executor
+    * cluster multiplies bandwidth with node count). */
+  def ceilingOpsPerSec(threads: Int): Double = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?<name>.+?)\\s+(?<qty>[0-9\\s.,]+)\\s*(шт|кг)?\\s+(?<price>[0-9\\s.,]+)")
+    val workPer = 2000000L
+    def run(n: Long): Unit = {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var acc = 0L
+          var i = 0L
+          while (i < n) {
+            val s = "Товар А" + (i % 97) + "   " + (i % 50) + " шт  " + (i % 1000) + ",5" + t
+            val m = pat.matcher(s)
+            if (m.find()) acc += m.group("name").length
+            i += 1
+          }
+          if (acc == Long.MinValue) println(acc) // keep acc alive
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    run(workPer / 4) // warmup (JIT both the loop and the regex paths)
+    var best = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      run(workPer)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < best) best = dt
+    }
+    threads * workPer / best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val n = args(1).toLong
+    val reps = if (args.length > 2) args(2).toInt else 4
+    println(f"CEILING_RESULT cpus=$cpus ops_per_sec=${ceilingOpsPerSec(cpus)}%.0f")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // materialize the input once (not timed): the production job reads a
+    // table scan, so synthesis cost must not pollute the measurement
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    graft.io.Transcripts.generate(spark, n, partitions = cpus * 4).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val turns = spark.read.parquet(dir)
+    var best = Double.MaxValue
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      Pipeline.extractTurns(turns).toDF().selectExpr("sum(best_count)").collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < best) best = dt
+    }
+    println(f"SCALING_RESULT cpus=$cpus n=$n best_sec=$best%.3f tps=${n / best}%.1f")
+    spark.stop()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+}

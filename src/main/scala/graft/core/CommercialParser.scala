@@ -10,9 +10,12 @@ import ParserCommon._
  */
 object CommercialParser {
 
-  def parse(text: String, tables: Seq[Tab]): Seq[Item] = {
+  def parse(text: String, tables: Seq[Tab]): Seq[Item] =
+    parse(new SharedLines(text), tables)
+
+  def parse(shared: SharedLines, tables: Seq[Tab]): Seq[Item] = {
     val items = tables.zipWithIndex.flatMap { case (t, i) => parseTable(t, i) } ++
-      (if (text != null && text.nonEmpty) parseText(text) else Nil)
+      (if (shared.text != null && shared.text.nonEmpty) parseText(shared) else Nil)
     dedup(items).filter(validate)
   }
 
@@ -122,10 +125,9 @@ object CommercialParser {
   }
 
   // -- text path (commercial_parser.py:327-393) --
-  private def parseText(text: String): Seq[Item] =
-    text.split("\n", -1).zipWithIndex.flatMap { case (raw, lineIdx) =>
-      val line = raw.strip()
-      if (!passesStrictLinePrefilter(line, Rules.headerLineCommercial, Rules.serviceLineCommercial)) None
+  private def parseText(shared: SharedLines): Seq[Item] =
+    shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
+      if (!passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineCommercial, Rules.serviceLineCommercial)) None
       else parseLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.7))
     }.toSeq
 

@@ -15,9 +15,12 @@ object CompetitiveParser {
   /** Throws PyTypeError (mirroring the reference's uncaught TypeError on
     * `None * float` in _parse_structured_block) — callers treat it as a
     * whole-parser error. */
-  def parse(text: String, tables: Seq[Tab]): Seq[Item] = {
+  def parse(text: String, tables: Seq[Tab]): Seq[Item] =
+    parse(new SharedLines(text), tables)
+
+  def parse(shared: SharedLines, tables: Seq[Tab]): Seq[Item] = {
     val items = tables.zipWithIndex.flatMap { case (t, i) => parseTable(t, i) } ++
-      (if (text != null && text.nonEmpty) parseText(text) else Nil)
+      (if (shared.text != null && shared.text.nonEmpty) parseText(shared) else Nil)
     dedup(items).filter(validate)
   }
 
@@ -113,13 +116,12 @@ object CompetitiveParser {
   }
 
   // -- text path (competitive_parser.py:343-455,612-679) --
-  private def parseText(text: String): Seq[Item] = {
+  private def parseText(shared: SharedLines): Seq[Item] = {
     val items = mutable.ArrayBuffer.empty[Item]
     // structured key:value blocks first (T5/R14)
-    items ++= parseStructuredText(text)
-    text.split("\n", -1).zipWithIndex.foreach { case (raw, lineIdx) =>
-      val line = raw.strip()
-      if (passesPrefilter(line)) {
+    items ++= parseStructuredText(shared.text)
+    shared.stripped.zipWithIndex.foreach { case (line, lineIdx) =>
+      if (passesPrefilter(line, shared.lower(lineIdx))) {
         parseTableLine(line, lineIdx) match {
           case Some(it) => items += it
           case None =>
@@ -131,8 +133,8 @@ object CompetitiveParser {
     items.toSeq
   }
 
-  private def passesPrefilter(line: String): Boolean =
-    passesStrictLinePrefilter(line, Rules.headerLineCompetitive, Rules.serviceLineCompetitive)
+  private def passesPrefilter(line: String, lower: String): Boolean =
+    passesStrictLinePrefilter(line, lower, Rules.headerLineCompetitive, Rules.serviceLineCompetitive)
 
   /** R14 — key:value structured blocks (competitive_parser.py:387-455). */
   private[core] def parseStructuredText(text: String): Seq[Item] = {

@@ -23,7 +23,8 @@ object Engine {
 
   def parseTurn(convId: String, turnIdx: Int, text: String): TurnResult = {
     val t = if (text == null) "" else text
-    val seg = Segmentation.segment(t)
+    val shared = new ParserCommon.SharedLines(t)
+    val seg = Segmentation.segmentShared(shared)
     val tables = seg.tables
 
     def run(name: String)(f: => Seq[Item]): ParserResult =
@@ -44,10 +45,10 @@ object Engine {
       } catch { case _: Exception => None }
 
     val results: Seq[ParserResult] = Seq(
-      run("commercial")(CommercialParser.parse(t, tables)),
-      run("invoice")(InvoiceParser.parse(t, tables)),
-      run("competitive")(CompetitiveParser.parse(t, tables)),
-      run("universal")(UniversalCoreParser.parse(t, tables)),
+      run("commercial")(CommercialParser.parse(shared, tables)),
+      run("invoice")(InvoiceParser.parse(shared, tables)),
+      run("competitive")(CompetitiveParser.parse(shared, tables)),
+      run("universal")(UniversalCoreParser.parse(shared, tables)),
       profileRes match {
         case Some(r) => ParserResult("supplier_profile", r.items, error = false)
         case None => ParserResult("supplier_profile", Nil, error = true)
@@ -81,7 +82,24 @@ object Engine {
       parser_stats = results.map(r => ParserStat(r.parser, r.count, statTotal(r), r.avgConfidence)),
       best_items = best.items,
       extracted_text = Segmentation.assembleText(t),
-      blocks = Segmentation.blocks(t))
+      blocks = Segmentation.blocks(t),
+      recommendations = recommendations(docType))
+  }
+
+  /** A6 — recommendations (universal_parser.py:850-893). The reference's
+    * per-parser counts there are ALWAYS zero: the guard
+    * `if result and not isinstance(result, dict)` is false for every parser
+    * result (they are all dicts), so only the doc-type warning branch and
+    * the all-zero branch ever fire. Mirrored faithfully. */
+  def recommendations(docType: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (docType == "commercial_proposal")
+      out += "⚠️ Коммерческое предложение не содержит товарных позиций"
+    else if (docType == "invoice")
+      out += "⚠️ Счет на оплату не содержит товарных позиций"
+    out += "❌ Ни один парсер не нашел товарные позиции"
+    out += "💡 Возможные причины: документ не содержит товарных позиций, неподдерживаемый формат"
+    out.toSeq
   }
 
   /** sum(item['total']) per parser (A2 stats); error parsers report 0 and

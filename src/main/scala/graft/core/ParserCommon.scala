@@ -8,6 +8,17 @@ import scala.collection.mutable
   * one canonical copy here). */
 object ParserCommon {
 
+  /** Shared per-turn line views: every reference parser begins its text pass
+    * with the same `text.split('\n')` + per-line `strip()` (+ lowercase for
+    * keyword checks). Computing them once per turn removes 6-7 redundant
+    * splits/lowercases per payload — pure reuse, zero semantic change. */
+  final class SharedLines(val text: String) {
+    val raw: Array[String] =
+      if (text == null || text.isEmpty) Array.empty else text.split("\n", -1)
+    val stripped: Array[String] = raw.map(_.strip())
+    lazy val lower: Array[String] = stripped.map(Py.lower)
+  }
+
   /** First-occurrence-wins dedup on (lower(strip(name)), qty, price)
     * (app/pipeline/parser.py:299-314). Order-dependent by design. */
   def dedup(items: Seq[Item]): Seq[Item] = {
@@ -140,9 +151,12 @@ object ParserCommon {
   /** Common text-line prefilter used by invoice/commercial text paths
     * (invoice_parser.py:348-362): strip, len>=10, not header/service line,
     * not all-numeric, has a letter, no itogo phrase. */
-  def passesStrictLinePrefilter(line: String, headerWords: Seq[String], serviceWords: Seq[String]): Boolean = {
+  def passesStrictLinePrefilter(line: String, headerWords: Seq[String], serviceWords: Seq[String]): Boolean =
+    passesStrictLinePrefilter(line, Py.lower(line), headerWords, serviceWords)
+
+  def passesStrictLinePrefilter(line: String, lower: String,
+                                headerWords: Seq[String], serviceWords: Seq[String]): Boolean = {
     if (line.isEmpty || line.length < Rules.minLineLength) return false
-    val lower = Py.lower(line)
     if (Py.containsAny(lower, headerWords) || Py.containsAny(lower, serviceWords)) return false
     if (Patterns.matchAt(Patterns.allNumericLine, line)) return false
     if (!Patterns.search(Patterns.hasLetter, line)) return false

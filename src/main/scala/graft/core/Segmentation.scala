@@ -20,11 +20,14 @@ object Segmentation {
 
   final case class Segmented(lines: IndexedSeq[String], blocks: IndexedSeq[String], tables: IndexedSeq[Tab])
 
-  def segment(text: String): Segmented = {
+  def segment(text: String): Segmented =
+    segmentShared(new graft.core.ParserCommon.SharedLines(text))
+
+  def segmentShared(shared: graft.core.ParserCommon.SharedLines): Segmented = {
     val lines: IndexedSeq[String] =
-      if (text == null || text.isEmpty) IndexedSeq.empty
-      else text.split("\n", -1).toIndexedSeq
-    Segmented(lines, blocks(text), tables(lines))
+      if (shared.text == null || shared.text.isEmpty) IndexedSeq.empty
+      else scala.collection.immutable.ArraySeq.unsafeWrapArray(shared.raw)
+    Segmented(lines, blocks(shared.text), tables(lines))
   }
 
   /** T5: blank-line separated blocks, trimmed, empties dropped. */

@@ -11,9 +11,12 @@ import ParserCommon._
  */
 object TextParser {
 
-  def parse(text: String, tables: Seq[Tab]): Seq[Item] = {
+  def parse(text: String, tables: Seq[Tab]): Seq[Item] =
+    parse(new SharedLines(text), tables)
+
+  def parse(shared: SharedLines, tables: Seq[Tab]): Seq[Item] = {
     val items = tables.zipWithIndex.flatMap { case (t, i) => parseTable(t, i) } ++
-      (if (text != null && text.nonEmpty) parseTextLines(text) else Nil)
+      (if (shared.text != null && shared.text.nonEmpty) parseTextLines(shared) else Nil)
     dedup(items).filter(validateBasic)
   }
 
@@ -52,9 +55,8 @@ object TextParser {
       else None
     }
 
-  private def parseTextLines(text: String): Seq[Item] = {
-    text.split("\n", -1).zipWithIndex.flatMap { case (raw, lineIdx) =>
-      val line = raw.strip()
+  private def parseTextLines(shared: SharedLines): Seq[Item] = {
+    shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
       if (line.isEmpty || line.length < Rules.minLineLength) None
       else parseSingleLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.6))
     }.toSeq

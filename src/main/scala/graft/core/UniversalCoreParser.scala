@@ -12,9 +12,12 @@ import ParserCommon._
  */
 object UniversalCoreParser {
 
-  def parse(text: String, tables: Seq[Tab]): Seq[Item] = {
+  def parse(text: String, tables: Seq[Tab]): Seq[Item] =
+    parse(new SharedLines(text), tables)
+
+  def parse(shared: SharedLines, tables: Seq[Tab]): Seq[Item] = {
     val items = tables.zipWithIndex.flatMap { case (t, i) => parseTable(t, i) } ++
-      (if (text != null && text.nonEmpty) parseText(text) else Nil)
+      (if (shared.text != null && shared.text.nonEmpty) parseText(shared) else Nil)
     dedup(items).filter(validate)
   }
 
@@ -136,12 +139,11 @@ object UniversalCoreParser {
   }
 
   // -- text path (universal_parser.py:642-705): lenient prefilter, 2 patterns --
-  private def parseText(text: String): Seq[Item] =
-    text.split("\n", -1).zipWithIndex.flatMap { case (raw, lineIdx) =>
-      val line = raw.strip()
+  private def parseText(shared: SharedLines): Seq[Item] =
+    shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
       if (line.isEmpty || line.length < Rules.minLineLength) None
       else {
-        val lower = Py.lower(line)
+        val lower = shared.lower(lineIdx)
         if (Py.containsAny(lower, Rules.headerLineInvoice) ||
             Py.containsAny(lower, Rules.serviceLineInvoice)) None
         else if (Patterns.matchAt(Patterns.allNumericLine, line)) None

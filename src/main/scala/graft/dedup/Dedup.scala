@@ -33,14 +33,19 @@ object Dedup {
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")
 
-  /** Word k-shingles as strings ("a b c"); fewer than k tokens -> empty. */
+  /** Word k-shingles as strings ("a b c"); fewer than k tokens -> empty.
+    *
+    * Built with arrays_zip over k shifted slices, NOT transform over an
+    * index sequence: a lambda body re-evaluates every non-lambda
+    * subexpression per element, which would make shingling O(tokens^2);
+    * zip arguments are evaluated once. */
   def shingles(textCol: Column, k: Int): Column = {
     val toks = tokens(textCol)
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - k + 1),
-          i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast("array<string>")))
+    val n = size(toks)
+    val zipped = arrays_zip((0 until k).map(j => slice(toks, lit(j + 1), n - (k - 1))): _*)
+    val joined = transform(zipped,
+      s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*))
+    array_distinct(when(n >= k, joined).otherwise(array().cast("array<string>")))
   }
 
   /** Deterministic 64-bit polynomial hash of a string, seeded — the SAME
@@ -53,13 +58,24 @@ object Dedup {
    * hashes — computed entirely with higher-order functions (codegen'd).
    * Output: idCol, sig: array<long> of length numHashes.
    */
+  /** Per-doc base shingle hashes, materialized behind a cache barrier:
+    * CollapseProject would otherwise inline the whole shingling pipeline
+    * into every one of the numHashes signature lambdas (numHashes x
+    * recompute). At cluster scale the equivalent barrier is writing the
+    * signature table out once (it is tiny relative to the corpus). */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col(idCol), transform(col("sh"), s => xxhash64(s)).as("base"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 32): DataFrame =
-    df.select(col(idCol), shingles(col(textCol), k).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)),
-        seed => array_min(transform(col("shingles"), s => xxhash64(seed, s)))))
-      .select(col(idCol), col("sig"))
+    // each shingle STRING is hashed once; the numHashes families mix the
+    // 8-byte base hash (xxhash64 over a long) — O(8) per (shingle, family)
+    shingleHashes(df, idCol, textCol, k)
+      .select(col(idCol), transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(col("base"), h => xxhash64(seed, h)))).as("sig"))
 
   /**
    * MinHash-LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
@@ -73,6 +89,9 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("band", "bucket")))
+      // both sides of the self-join read this — persist so the signature
+      // computation (the expensive part) runs once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -98,17 +117,20 @@ object Dedup {
   }
 
   /** SimHash 64-bit signature: sign-sum of per-token hashes, bit by bit —
-    * pure column expressions. */
+    * pure column expressions. Token hashes are materialized behind a cache
+    * barrier first; otherwise the 64 per-bit aggregates would each re-run
+    * tokenization + string hashing (64x recompute via CollapseProject). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashed = df
+      .select(col(idCol), transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = (0 until 64).map { bit =>
       // sum over tokens of +1/-1 for this bit, then take the sign bit
-      val bitSum = aggregate(hashes, lit(0L),
+      val bitSum = aggregate(col("th"), lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    df.select(col(idCol), sig.as("simhash"))
+    hashed.select(col(idCol), sig.as("simhash"))
   }
 
   /** Hamming-near pairs via 4x16-bit block bucketing (any pair within

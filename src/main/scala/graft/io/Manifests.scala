@@ -72,7 +72,8 @@ object Manifests {
         val observed = salted.observe(obs,
           count(lit(1)).as("rows"),
           coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"),
-          coalesce(sum(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
+          // bit_xor: order-independent content hash, no ANSI overflow
+          coalesce(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
             .as("checksum"))
         observed.write.mode("overwrite").parquet(s"$outDir/chunk=$k")
         val m = obs.get

@@ -41,8 +41,9 @@ object Transcripts {
     * Locale pinned to ROOT — never the JVM default. */
   def fmtNum(v: Double, style: Int): String = {
     val L = java.util.Locale.ROOT
-    val i = v.toLong
-    val frac = math.round((v - i) * 100).toInt
+    var i = v.toLong
+    var frac = math.round((v - i) * 100).toInt
+    if (frac == 100) { i += 1; frac = 0 } // carry: 63241.9999 -> 63242,00
     style match {
       case 0 => String.format(L, "%.2f", Double.box(v))                                   // 1234.56
       case 1 => String.format(L, "%,d", Long.box(i)).replace(",", " ") +

@@ -72,4 +72,5 @@ final case class TurnResult(
     parser_stats: Seq[ParserStat],
     best_items: Seq[Item],
     extracted_text: String,
-    blocks: Seq[String])
+    blocks: Seq[String],
+    recommendations: Seq[String])

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Streaming analog of the reference's inbox watcher (S2,
+ * app/pipeline/ingest.py:26-98): instead of a watchdog Observer pushing
+ * files into a per-process `processed_files` set, Structured Streaming's
+ * file source discovers new transcript files and the checkpoint makes the
+ * dedup durable — exactly the "manifest instead of in-memory set" upgrade
+ * SURVEY.md §3 E3 calls for.
+ *
+ * The extraction itself is the same map-only transform, so it is trivially
+ * streamable (no state, no watermark needed); per-conversation rolling
+ * stats use a watermarked sliding window as the optional stateful layer.
+ */
+object StreamingExtract {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  /** File-source stream of transcript parquet drops -> per-turn results. */
+  def extractStream(spark: SparkSession, inDir: String): DataFrame =
+    graft.Pipeline.extractTurns(
+      spark.readStream.schema(transcriptSchema).parquet(inDir)).toDF()
+
+  /** Continuous extraction job with durable progress (checkpointed). */
+  def run(spark: SparkSession, inDir: String, outDir: String, checkpoint: String): DataStreamWriter[Row] =
+    extractStream(spark, inDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+
+  /** Watermarked per-conversation windowed counts (stateful shape:
+    * 10-minute windows, 5-minute lateness). */
+  def windowedConvStats(turns: DataFrame): DataFrame =
+    turns
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
+}

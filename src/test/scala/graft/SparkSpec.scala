@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Spark-level integration: pipeline, custom expression, skew salting,
+  * manifest resume, matching join, dedup/ANN operators. */
+class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("transcripts generator is deterministic and skewed") {
+    val a = graft.io.Transcripts.generateDF(spark, 500L).collect().map(_.toString).sorted
+    val b = graft.io.Transcripts.generateDF(spark, 500L).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val counts = graft.io.Transcripts.generateDF(spark, 500L)
+      .groupBy("conv_id").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("conv-hot-00000000") == 25L) // 5% hot conversation
+    assert(counts.filter(_._1 != "conv-hot-00000000").values.forall(_ <= 8L))
+  }
+
+  test("extraction pipeline is map-only (no shuffle/exchange in the plan)") {
+    val turns = graft.io.Transcripts.generateDF(spark, 100L)
+    val plan = Pipeline.extractTurns(turns).toDF().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("extraction over Spark matches the pure engine row-for-row") {
+    val turns = graft.io.Transcripts.generateDF(spark, 200L)
+    val viaSpark = Pipeline.extractTurns(turns).toDF()
+      .select("conv_id", "turn_idx", "best_parser", "best_count", "extracted_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val direct = (0L until 200L).map { id =>
+      val t = graft.io.Transcripts.turnFor(42L, id, 200L, 0.05, 8)
+      val r = graft.core.Engine.parseTurn(t.conv_id, t.turn_idx, t.text)
+      (r.conv_id, r.turn_idx, r.best_parser, r.best_count, r.extracted_text)
+    }.sortBy(t => (t._1, t._2))
+    assert(viaSpark.toSeq == direct)
+  }
+
+  test("parse_number expression matches core Num under codegen") {
+    import spark.implicits._
+    val inputs = Seq("1 234,56", "1,234.56", "1,5", "2 000", "абв", "", "12,345",
+      "100.50 руб", "-7,25", "5.", "1.2.3")
+    val df = inputs.toDF("s").select(col("s"), graft.expr.functions.parse_number(col("s")).as("p"))
+    val got = df.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    inputs.foreach { s => assert(got(s) == graft.core.Num.parse(s), s) }
+  }
+
+  test("salted repartition spreads the hot conversation and keeps order") {
+    val turns = graft.io.Transcripts.generateDF(spark, 1000L)
+    val extracted = Pipeline.extractTurns(turns).toDF()
+    val salted = graft.skew.Salt.saltedRepartition(extracted, 8, 4)
+    val parts = salted.select(col("conv_id"), spark_partition_id().as("pid"))
+      .where(col("conv_id") === "conv-hot-00000000")
+      .select("pid").distinct().count()
+    assert(parts >= 3, s"hot conv only on $parts partitions") // spread over ~salt partitions
+    // per-partition (conv_id, turn_idx) must be sorted
+    val ok = salted.select(col("conv_id"), col("turn_idx"))
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getString(0), r.getInt(1))).toSeq
+        Iterator.single(rows == rows.sortBy(identity))
+      }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
+    assert(ok.forall(identity))
+  }
+
+  test("manifest-committed run resumes exactly (skips committed chunks)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val turns = graft.io.Transcripts.generateDF(spark, 300L)
+    val ran1 = graft.io.Manifests.resumableExtract(spark, turns, dir, nChunks = 4, numPartitions = 4, salt = 2)
+    assert(ran1 == 4)
+    val m1 = graft.io.Manifests.readManifests(dir)
+    assert(m1.length == 4 && m1.map(_.rows).sum == 300L)
+    // resume: nothing re-runs, manifests unchanged
+    val ran2 = graft.io.Manifests.resumableExtract(spark, turns, dir, nChunks = 4, numPartitions = 4, salt = 2)
+    assert(ran2 == 0)
+    assert(graft.io.Manifests.readManifests(dir).map(m => (m.chunk, m.rows, m.checksum)) ==
+      m1.map(m => (m.chunk, m.rows, m.checksum)))
+    // partial resume: delete one manifest, only that chunk re-runs, checksum identical
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest", "chunk-00002.json"))
+    val ran3 = graft.io.Manifests.resumableExtract(spark, turns, dir, nChunks = 4, numPartitions = 4, salt = 2)
+    assert(ran3 == 1)
+    assert(graft.io.Manifests.readManifests(dir).map(m => (m.chunk, m.rows, m.checksum)) ==
+      m1.map(m => (m.chunk, m.rows, m.checksum)))
+    // output parquet row count matches manifests
+    val total = spark.read.parquet(s"$dir/chunk=*").count()
+    assert(total == 300L)
+  }
+
+  test("WRatio broadcast match assigns bands as the reference thresholds do") {
+    import spark.implicits._
+    val items = Seq(
+      ("c1", 0, 0, "Кабель силовой ВВГнг 3х2,5"),
+      ("c1", 0, 1, "СИП-4 4х25 ГОСТ 2022"),
+      ("c1", 0, 2, "Болт анкерный М12 невероятный")
+    ).toDF("conv_id", "turn_idx", "item_idx", "name")
+    val products = graft.io.Transcripts.productsDim(spark)
+    val m = graft.matching.Matching.topMatches(items, products, Seq("conv_id", "turn_idx", "item_idx"))
+      .collect().groupBy(_.getAs[Int]("item_idx"))
+    assert(m(0).exists(r => r.getAs[Boolean]("is_auto_match"))) // exact name in dim
+    assert(m(1).nonEmpty && m(1).forall(_.getAs[Double]("score") >= 70.0))
+    assert(!m.contains(2) || m(2).forall(!_.getAs[Boolean]("is_auto_match")))
+  }
+
+  test("exact dedup finds injected duplicate texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val d = graft.dedup.Dedup.exact(docs, "doc_id", "text").collect()
+    assert(d.length == 2)
+    assert(d.find(_.getAs[Long]("n_docs") == 2L).map(_.getAs[Long]("keeper")).contains(1L))
+  }
+
+  test("minhash LSH recalls a heavily-overlapping pair") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenx tokeny tokenz"
+    val far = (100 to 160).map(i => s"token$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val cand = graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)))
+    val sim = graft.dedup.Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.contains((1L, 2L)))
+  }
+
+  test("ANN brute-force top-k is deterministic and self-excluding") {
+    import spark.implicits._
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r1 = graft.ann.Similarity.bruteForceTopK(vecs, "vec_id", "embedding", nQueries = 3, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val r2 = graft.ann.Similarity.bruteForceTopK(vecs, "vec_id", "embedding", nQueries = 3, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(r1.sameElements(r2))
+    assert(r1.length == 12)
+    assert(r1.forall { case (q, _, n) => q != n })
+  }
+
+  test("multimodal metadata extraction is deterministic over binary payloads") {
+    import spark.implicits._
+    val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
+    val media = graft.mm.Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val meta = graft.mm.Multimodal.extractMeta(media).collect().sortBy(_.media_id)
+    assert(meta.length == 3)
+    assert(meta.map(_.kind).toSeq == Seq("image", "audio", "video"))
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64))
+    assert(meta(2).n_frames >= 1)
+    val again = graft.mm.Multimodal.extractMeta(media).collect().sortBy(_.media_id)
+    assert(meta.map(_.checksum).sameElements(again.map(_.checksum)))
+  }
+}
