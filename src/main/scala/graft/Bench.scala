@@ -80,13 +80,16 @@ object Bench {
     // interleaved rounds per config and keep the best (least-interference)
     // sample of each.
     val small = math.max(1, cpus / 4)
+    // size the scaling workload to keep a small-config rep under ~15s even
+    // when the driver grants few cores (throughput ~2k turns/sec/core)
+    val scalingTurns = math.min(nTurns, 30000L * small)
     val rounds = Seq(
-      (pinnedRun(small, nTurns, reps = 3), pinnedRun(cpus, nTurns, reps = 3)),
-      (pinnedRun(small, nTurns, reps = 3), pinnedRun(cpus, nTurns, reps = 3)))
+      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3)),
+      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3)))
     val rSmall = rounds.map(_._1).minBy(_.bestSec)
     val rBig = rounds.map(_._2).minBy(_.bestSec)
-    val thrSmall = nTurns / rSmall.bestSec
-    val thrBig = nTurns / rBig.bestSec
+    val thrSmall = scalingTurns / rSmall.bestSec
+    val thrBig = scalingTurns / rBig.bestSec
     val factor = cpus.toDouble / small
     val efficiency = thrBig / (thrSmall * factor)
     // single-box thread-scaling ceiling for string work (see ScalingRunner):
@@ -117,7 +120,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
-      f"""{"cores_small":$small,"cores_big":$cpus,"turns":$nTurns,""" +
+      f"""{"cores_small":$small,"cores_big":$cpus,"turns":$scalingTurns,""" +
       f""""sec_small":${rSmall.bestSec}%.3f,"sec_big":${rBig.bestSec}%.3f,""" +
       f""""turns_per_sec_small":$thrSmall%.1f,"turns_per_sec_big":$thrBig%.1f,""" +
       f""""efficiency":$efficiency%.3f,""" +

@@ -127,7 +127,8 @@ object CommercialParser {
   // -- text path (commercial_parser.py:327-393) --
   private def parseText(shared: SharedLines): Seq[Item] =
     shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (!passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineCommercial, Rules.serviceLineCommercial)) None
+      if (!shared.hasDigit(lineIdx) ||
+          !passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineCommercial, Rules.serviceLineCommercial)) None
       else parseLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.7))
     }.toSeq
 

@@ -121,7 +121,7 @@ object CompetitiveParser {
     // structured key:value blocks first (T5/R14)
     items ++= parseStructuredText(shared.text)
     shared.stripped.zipWithIndex.foreach { case (line, lineIdx) =>
-      if (passesPrefilter(line, shared.lower(lineIdx))) {
+      if (shared.hasDigit(lineIdx) && passesPrefilter(line, shared.lower(lineIdx))) {
         parseTableLine(line, lineIdx) match {
           case Some(it) => items += it
           case None =>

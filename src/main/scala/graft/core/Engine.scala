@@ -58,9 +58,10 @@ object Engine {
 
     val best = selectBest(results)
 
-    val docType = detectDocumentType(t)
-    val (invS, comS, cmpS, conS) = documentTypeScores(t)
-    val (tq, tabq, oq) = quality(t, tables)
+    val lowerText = Py.lower(t)
+    val docType = detectDocumentTypeLower(lowerText)
+    val (invS, comS, cmpS, conS) = documentTypeScoresLower(lowerText)
+    val (tq, tabq, oq) = qualityLower(if (t.nonEmpty) lowerText else null, tables)
 
     TurnResult(
       conv_id = convId,
@@ -69,7 +70,7 @@ object Engine {
       n_lines = seg.lines.length,
       n_tables = tables.length,
       has_text = t.strip().length >= Rules.minTextLength,
-      needs_fallback = needsFallback(t, tables),
+      needs_fallback = needsFallbackLower(t, lowerText, tables),
       doc_type = docType,
       invoice_score = invS, commercial_score = comS,
       competitive_score = cmpS, contract_score = conS,
@@ -148,8 +149,9 @@ object Engine {
   }
 
   /** Simple 3-class doc-type detection (universal_parser.py:833-848). */
-  def detectDocumentType(text: String): String = {
-    val lower = Py.lower(text)
+  def detectDocumentType(text: String): String = detectDocumentTypeLower(Py.lower(text))
+
+  def detectDocumentTypeLower(lower: String): String = {
     if (Py.containsAny(lower, Rules.docTypeCommercial)) "commercial_proposal"
     else if (Py.containsAny(lower, Rules.docTypeInvoice)) "invoice"
     else if (Py.containsAny(lower, Rules.docTypeCompetitive)) "competitive_procedure"
@@ -158,8 +160,10 @@ object Engine {
 
   /** A4 — 4-class keyword-hit scores, normalized (ocr_processor.py:209-275).
     * Returned as (invoice, commercial, competitive, contract). */
-  def documentTypeScores(text: String): (Double, Double, Double, Double) = {
-    val lower = Py.lower(text)
+  def documentTypeScores(text: String): (Double, Double, Double, Double) =
+    documentTypeScoresLower(Py.lower(text))
+
+  def documentTypeScoresLower(lower: String): (Double, Double, Double, Double) = {
     def hits(words: Seq[String]): Double = words.count(lower.contains).toDouble
     val inv = hits(Rules.scoreInvoiceKeywords)
     val com = hits(Rules.scoreCommercialKeywords)
@@ -172,12 +176,14 @@ object Engine {
 
   /** A5 — quality validation (ocr_processor.py:277-321):
     * (text_quality, table_quality, overall). */
-  def quality(text: String, tables: Seq[Tab]): (Double, Double, Double) = {
+  def quality(text: String, tables: Seq[Tab]): (Double, Double, Double) =
+    qualityLower(if (text != null && text.nonEmpty) Py.lower(text) else null, tables)
+
+  def qualityLower(lowerOrNull: String, tables: Seq[Tab]): (Double, Double, Double) = {
     val tq =
-      if (text != null && text.nonEmpty) {
-        val lower = Py.lower(text)
-        Rules.validationKeyElements.count(lower.contains).toDouble / Rules.validationKeyElements.length
-      } else 0.0
+      if (lowerOrNull != null)
+        Rules.validationKeyElements.count(lowerOrNull.contains).toDouble / Rules.validationKeyElements.length
+      else 0.0
     val tabq =
       if (tables.nonEmpty)
         tables.count(t => t.rows.length > 1 && t.nCols > 2).toDouble / tables.length
@@ -186,9 +192,11 @@ object Engine {
   }
 
   /** F9 — OCR-needed gate (enhanced_extractor.py:248-277). */
-  def needsFallback(text: String, tables: Seq[Tab]): Boolean = {
+  def needsFallback(text: String, tables: Seq[Tab]): Boolean =
+    needsFallbackLower(text, Py.lower(text), tables)
+
+  def needsFallbackLower(text: String, lower: String, tables: Seq[Tab]): Boolean = {
     if (text.strip().length < 100) return true
-    val lower = Py.lower(text)
     if (Rules.qualityGateKeywords.count(lower.contains) < 2) return true
     if (tables.nonEmpty && !tables.exists(t => t.rows.length > 1 && t.nCols > 2)) return true
     false

@@ -112,7 +112,8 @@ object InvoiceParser {
   // -- text path (invoice_parser.py:342-411) --
   private def parseText(shared: SharedLines): Seq[Item] =
     shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (!passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineInvoice, Rules.serviceLineInvoice)) None
+      if (!shared.hasDigit(lineIdx) ||
+          !passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineInvoice, Rules.serviceLineInvoice)) None
       else parseLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.7))
     }.toSeq
 

@@ -17,6 +17,23 @@ object ParserCommon {
       if (text == null || text.isEmpty) Array.empty else text.split("\n", -1)
     val stripped: Array[String] = raw.map(_.strip())
     lazy val lower: Array[String] = stripped.map(Py.lower)
+    /** ASCII-digit presence per line: any item a line-pattern can yield
+      * requires a parseable qty/price (>0), which requires an ASCII digit
+      * in the line — so digit-free lines can skip regex entirely with no
+      * semantic change (pure fast-path). */
+    lazy val hasDigit: Array[Boolean] = stripped.map(SharedLines.asciiDigit)
+  }
+
+  object SharedLines {
+    def asciiDigit(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= '0' && c <= '9') return true
+        i += 1
+      }
+      false
+    }
   }
 
   /** First-occurrence-wins dedup on (lower(strip(name)), qty, price)
@@ -31,10 +48,15 @@ object ParserCommon {
     out.toSeq
   }
 
-  /** Header-synonym column mapping, break-on-first-field style
-    * (parser.py:131-150 / universal_parser.py:470-493 / commercial / competitive):
-    * per column, the FIRST field whose synonym hits wins for that column;
-    * a later column overwrites an earlier column's claim on the same field.
+  /** Header-synonym column mapping (parser.py:131-150 /
+    * universal_parser.py:470-493 / commercial / competitive). The
+    * reference's inner break is `if field in mapping: break` — a GLOBAL
+    * check: once a field is mapped by ANY column, every later column stops
+    * scanning the field list at that field. In practice this means fields
+    * after the first-mapped one (usually `name`) become unreachable, and
+    * the mapping usually collapses to a single entry -> the parsers fall
+    * through to their positional/content fallbacks. Mirrored faithfully
+    * (confirmed by the tools/parity_check.py sweep against the reference).
     * @param clean whether to apply the [^\w\s]->space cleanup first */
   def mapBySynonyms(header: IndexedSeq[Option[String]],
                     fields: Seq[(String, Seq[String])],
@@ -43,11 +65,11 @@ object ParserCommon {
     header.zipWithIndex.foreach { case (col, idx) =>
       val raw = Py.lower(Py.pyStr(col)).strip()
       val colStr = if (clean) Py.cleanColName(Py.pyStr(col)) else raw
-      var claimed = false
+      var break_ = false
       fields.foreach { case (field, synonyms) =>
-        if (!claimed && synonyms.exists(s => colStr.contains(Py.lower(s)))) {
-          mapping(field) = idx
-          claimed = true
+        if (!break_) {
+          if (synonyms.exists(s => colStr.contains(Py.lower(s)))) mapping(field) = idx
+          if (mapping.contains(field)) break_ = true
         }
       }
     }

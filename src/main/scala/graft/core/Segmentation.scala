@@ -50,10 +50,11 @@ object Segmentation {
     val out = mutable.ArrayBuffer.empty[Tab]
     var runStart = -1
     var tableId = 0
+    val cells: Array[IndexedSeq[Option[String]]] = lines.map(splitCells).toArray
 
     def flush(endExclusive: Int): Unit = {
       if (runStart >= 0 && endExclusive - runStart >= 2) {
-        val grid = (runStart until endExclusive).map(i => splitCells(lines(i)))
+        val grid = (runStart until endExclusive).map(i => cells(i))
         val width = grid.map(_.length).max
         val padded = grid.map(r => r.padTo(width, None: Option[String]))
         val header = padded.head
@@ -71,7 +72,7 @@ object Segmentation {
 
     var i = 0
     while (i < lines.length) {
-      if (isTabular(lines(i))) { if (runStart < 0) runStart = i }
+      if (cells(i).length >= 2) { if (runStart < 0) runStart = i }
       else flush(i)
       i += 1
     }

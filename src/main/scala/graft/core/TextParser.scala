@@ -57,7 +57,7 @@ object TextParser {
 
   private def parseTextLines(shared: SharedLines): Seq[Item] = {
     shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (line.isEmpty || line.length < Rules.minLineLength) None
+      if (line.isEmpty || line.length < Rules.minLineLength || !shared.hasDigit(lineIdx)) None
       else parseSingleLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.6))
     }.toSeq
   }

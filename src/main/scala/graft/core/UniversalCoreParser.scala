@@ -141,7 +141,7 @@ object UniversalCoreParser {
   // -- text path (universal_parser.py:642-705): lenient prefilter, 2 patterns --
   private def parseText(shared: SharedLines): Seq[Item] =
     shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (line.isEmpty || line.length < Rules.minLineLength) None
+      if (line.isEmpty || line.length < Rules.minLineLength || !shared.hasDigit(lineIdx)) None
       else {
         val lower = shared.lower(lineIdx)
         if (Py.containsAny(lower, Rules.headerLineInvoice) ||

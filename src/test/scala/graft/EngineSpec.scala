@@ -26,35 +26,42 @@ class EngineSpec extends AnyFunSuite {
     assert(t.header.take(5).flatten == Seq("Наименование товара", "Кол-во", "Ед.изм", "Цена", "Сумма"))
   }
 
-  test("TextParser extracts 4 items from the fixture table with parsed numbers") {
+  test("TextParser: the reference's global-break synonym mapping collapses to {name}; fallback yields nothing") {
+    // parity-verified against the reference (tools/parity_check.py): once
+    // 'name' is mapped, later columns break at 'name', the mapping stays
+    // size 1 and the row-text fallback merges both numbers into an
+    // unparsable price -> zero items
     val seg = Segmentation.segment(fixture)
-    val items = TextParser.parse(fixture, seg.tables)
-    assert(items.length == 4)
-    val a = items.head
+    assert(TextParser.parse(fixture, seg.tables).isEmpty)
+  }
+
+  test("InvoiceParser extracts 4 via its elif-chain mapping; Commercial/Universal none; Competitive 7") {
+    val seg = Segmentation.segment(fixture)
+    val inv = InvoiceParser.parse(fixture, seg.tables)
+    assert(inv.length == 4)
+    val a = inv.head
     assert(a.name == "Товар А")
     assert(a.qty.contains(5.0))
     assert(a.unit == "шт")
     assert(a.price.contains(100.5))
     assert(a.total.contains(502.5))
-    assert(a.confidence == 0.9)
+    assert(a.confidence == 0.95)
     assert(a.source == "table_0_row_0")
-    // Итого line never becomes an item
-    assert(!items.exists(_.name.toLowerCase.contains("итого")))
-  }
-
-  test("InvoiceParser and CommercialParser also extract 4; Competitive skips row 0") {
-    val seg = Segmentation.segment(fixture)
-    assert(InvoiceParser.parse(fixture, seg.tables).length == 4)
-    assert(CommercialParser.parse(fixture, seg.tables).length == 4)
-    // competitive: 3 table items (positional row_idx==0 skip drops Товар А)
-    // + 4 text items via the R13 token splitter (unit glued into the name),
-    // which do not collide with table items under the dedup key
+    assert(!inv.exists(_.name.toLowerCase.contains("итого")))
+    // commercial: mapping collapses, content fallback needs a leading
+    // position number -> 0; universal: positional layout points name at
+    // the qty cell -> validation rejects all rows
+    assert(CommercialParser.parse(fixture, seg.tables).isEmpty)
+    assert(UniversalCoreParser.parse(fixture, seg.tables).isEmpty)
+    // competitive: 3 table items via the content fallback (row 0 skipped,
+    // conf 0.8) + 4 text items via the R13 token splitter (unit glued into
+    // the name), no dedup collisions
     val comp = CompetitiveParser.parse(fixture, seg.tables)
     assert(comp.length == 7)
     assert(comp.count(_.source.startsWith("table_0_row")) == 3)
+    assert(comp.filter(_.source.startsWith("table_0_row")).forall(_.confidence == 0.8))
     assert(comp.count(_.source.startsWith("table_line_")) == 4)
     assert(comp.exists(_.name == "Товар А шт")) // R13 glues the unit token
-    assert(UniversalCoreParser.parse(fixture, seg.tables).length == 4)
   }
 
   test("product-gated table parsers reject non-product names (F8)") {
@@ -124,9 +131,9 @@ class EngineSpec extends AnyFunSuite {
     assert(r.best_parser == "") // fixture names fail the best-selection product whitelist
     val stats = r.parser_stats.map(s => s.parser -> s.count).toMap
     assert(stats("invoice") == 4)
-    assert(stats("commercial") == 4)
+    assert(stats("commercial") == 0)
     assert(stats("competitive") == 7)
-    assert(stats("universal") == 4)
+    assert(stats("universal") == 0)
     assert(stats("table_extractor") == 0)
     assert(r.text_quality == 0.8) // товар, цена, сумма, итого present; количество absent
   }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.core._
+import graft.io.Transcripts
+import java.nio.file.{Files, Paths}
+
+/**
+ * Parity-sweep dump: for N synthetic turns, emit JSON with the payload, the
+ * segmented tables (core grid + meta, so the Python harness can rebuild the
+ * exact pandas DataFrames) and each parser's items — consumed by
+ * tools/parity_check.py, which runs the REFERENCE parsers on the same
+ * inputs and diffs. Offline dev tool, not part of `sbt test`.
+ */
+object ParityDump {
+
+  private def jstr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jnum(d: Option[Double]): String =
+    d.map(v => if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString else v.toString)
+      .getOrElse("null")
+
+  private def jitem(it: graft.model.Item): String =
+    s"""{"name":${jstr(it.name)},"article":${jstr(it.article)},"qty":${jnum(it.qty)},""" +
+    s""""unit":${jstr(it.unit)},"price":${jnum(it.price)},"currency":${jstr(it.currency)},""" +
+    s""""total":${jnum(it.total)},"supplier":${jstr(it.supplier)},"source":${jstr(it.source)},""" +
+    s""""confidence":${it.confidence}}"""
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toInt else 400
+    val sb = new StringBuilder
+    (0 until n).foreach { i =>
+      val text = Transcripts.payload(42L, i.toLong)
+      val shared = new ParserCommon.SharedLines(text)
+      val seg = Segmentation.segmentShared(shared)
+      val tables = seg.tables
+      // tables: strip the trailing _page/_table_id meta columns for export
+      val tablesJson = tables.map { t =>
+        val coreHeader = t.header.dropRight(2)
+        val coreRows = t.rows.map(_.dropRight(2))
+        val pageCell = t.rows.headOption.flatMap(r => r(r.length - 2)).getOrElse("1")
+        val tidCell = t.rows.headOption.flatMap(r => r.last).getOrElse("1")
+        s"""{"header":[${coreHeader.map(c => c.map(jstr).getOrElse("null")).mkString(",")}],""" +
+        s""""rows":[${coreRows.map(r => "[" + r.map(c => c.map(jstr).getOrElse("null")).mkString(",") + "]").mkString(",")}],""" +
+        s""""page":$pageCell,"table_id":$tidCell}"""
+      }.mkString("[", ",", "]")
+      def runSafe(f: => Seq[graft.model.Item]): String =
+        try "[" + f.map(jitem).mkString(",") + "]"
+        catch { case _: Exception => "\"ERROR\"" }
+      val parsers = Seq(
+        "text_parser" -> runSafe(TextParser.parse(shared, tables)),
+        "commercial" -> runSafe(CommercialParser.parse(shared, tables)),
+        "invoice" -> runSafe(InvoiceParser.parse(shared, tables)),
+        "competitive" -> runSafe(CompetitiveParser.parse(shared, tables)),
+        "universal" -> runSafe(UniversalCoreParser.parse(shared, tables)),
+        "table_extractor" -> runSafe(TableExtractor.parse(tables)),
+        "precise" -> runSafe(PreciseTableParser.parse(tables)),
+        "profile" -> runSafe(SupplierProfiles.parseWithProfile(text, tables).items))
+      sb.append(s"""{"id":$i,"text":${jstr(text)},"tables":$tablesJson,""")
+      sb.append(parsers.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(","))
+      sb.append("}\n")
+    }
+    Files.writeString(Paths.get(args(0)), sb.toString)
+    println(s"dumped $n turns to ${args(0)}")
+  }
+}

@@ -155,6 +155,20 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.forall { case (q, _, n) => q != n })
   }
 
+  test("parse_number is callable from SQL (extension function builder)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // same registration triple as graft.expr.GraftExtensions.injectFunction
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("parse_number"),
+      new ExpressionInfo(classOf[graft.expr.ParseNumber].getName, "parse_number"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.ParseNumber(children.head))
+    val r = spark.sql("SELECT parse_number('1 234,56') AS p, parse_number('абв') AS q").collect()(0)
+    assert(r.getDouble(0) == 1234.56)
+    assert(r.isNullAt(1))
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
