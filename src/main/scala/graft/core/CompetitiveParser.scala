@@ -223,7 +223,7 @@ object CompetitiveParser {
         name = name.split("\\s+").filter(_.nonEmpty).mkString(" ")
         if (unit.nonEmpty) {
           unit = unit.strip()
-          unit = unit.replaceAll("[^\\w\\.]", "")
+          unit = Patterns.unitCleanup.matcher(unit).replaceAll("")
         }
         val it = Item(name, "", qty, unit, price, currency, total, "", "regex_match", 0.85)
         if (validate(it)) Some(it) else None

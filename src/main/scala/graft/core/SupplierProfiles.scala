@@ -108,29 +108,31 @@ object SupplierProfiles {
           var name: Option[String] = None
           var article: Option[String] = None
           var unit: Option[String] = None
+          var articleMapped, unitMapped = false
           var qty: Option[Double] = None
           var price: Option[Double] = None
           var total: Option[Double] = None
-          var qtySet, priceSet = false
           p.columnMapping.foreach { case (field, colIdx) =>
             if (colIdx < row.length) {
               val cell = row(colIdx)
               field match {
-                case "qty" => qtySet = true; qty = cell.flatMap(Num.parse)
-                case "price" => priceSet = true; price = cell.flatMap(Num.parse)
+                case "qty" => qty = cell.flatMap(Num.parse)
+                case "price" => price = cell.flatMap(Num.parse)
                 case "total" => total = cell.flatMap(Num.parse)
                 case "name" => name = cell.map(_.strip())
-                case "article" => article = cell.map(_.strip())
-                case "unit" => unit = cell.map(_.strip())
+                case "article" => articleMapped = true; article = cell.map(_.strip())
+                case "unit" => unitMapped = true; unit = cell.map(_.strip())
                 case _ => // number — extracted but unused in the item
               }
             }
           }
-          val _ = (qtySet, priceSet)
           if (name.forall(_.isEmpty) || qty.isEmpty || price.isEmpty) None
           else {
             val totalF = backfillIfNone(total, qty, price)
-            Some(Item(name.get, article.getOrElse(""), qty, unit.getOrElse(""), price, "RUB",
+            // mapped-but-missing cells stay None in the reference item dict
+            val articleS = if (articleMapped) article.orNull else ""
+            val unitS = if (unitMapped) unit.orNull else ""
+            Some(Item(name.get, articleS, qty, unitS, price, "RUB",
               totalF, "", s"profile_${p.id}_table_${tableIdx}_row_$rowIdx", 0.95))
           }
         }

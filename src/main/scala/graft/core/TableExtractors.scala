@@ -80,8 +80,12 @@ object TableExtractor {
       if (name.forall(_.isEmpty) || qty.isEmpty || price.isEmpty) None
       else {
         val total = backfillIfNone(nums.getOrElse("total", None), qty, price)
-        Some(Item(name.get, f.getOrElse("article", None).getOrElse(""), qty,
-          f.getOrElse("unit", None).getOrElse(""), price, "RUB", total, "",
+        // a mapped-but-missing cell stays None in the reference item dict
+        // (table_extractor.py:196-197): null here, "" only when unmapped
+        def strOrNull(field: String): String =
+          if (f.contains(field)) f(field).orNull else ""
+        Some(Item(name.get, strOrNull("article"), qty,
+          strOrNull("unit"), price, "RUB", total, "",
           s"table_${tableIdx}_row_$rowIdx", 0.95))
       }
     } catch { case _: Exception => None }
@@ -193,8 +197,10 @@ object PreciseTableParser {
       else {
         val total0 = nums.getOrElse("total", None)
         val total = if (total0.isEmpty && truthy(qty) && truthy(price)) Some(qty.get * price.get) else total0
-        Some(Item(name.get, f.getOrElse("article", None).getOrElse(""), qty,
-          f.getOrElse("unit", None).getOrElse(""), price, "RUB", total, "",
+        def strOrNull(field: String): String =
+          if (f.contains(field)) f(field).orNull else ""
+        Some(Item(name.get, strOrNull("article"), qty,
+          strOrNull("unit"), price, "RUB", total, "",
           s"table_${tableIdx}_row_$rowIdx", 0.95))
       }
     } catch { case _: Exception => None }

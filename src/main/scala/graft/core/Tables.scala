@@ -77,6 +77,8 @@ object Patterns {
   val hasDigit: Pattern = Pattern.compile("\\d", Pattern.UNICODE_CHARACTER_CLASS)
   val techSpecDim: Pattern = py("\\d+[х×]\\d+")
   val techSpecUnit: Pattern = py("\\d+[кмлшт]")
+  /** P6 unit cleanup `[^\w.]` — Python \w is Unicode (keeps Cyrillic). */
+  val unitCleanup: Pattern = Pattern.compile("[^\\w\\.]", Pattern.UNICODE_CHARACTER_CLASS)
   val commercialTechPrefix: Pattern =
     Pattern.compile(Rules.commercialTechPrefix, Pattern.UNICODE_CHARACTER_CLASS) // no IGNORECASE in reference
   val startsWithLetter: Pattern = py("^[а-яёa-z]")

@@ -35,11 +35,38 @@ object ParityDump {
     s""""total":${jnum(it.total)},"supplier":${jstr(it.supplier)},"source":${jstr(it.source)},""" +
     s""""confidence":${it.confidence}}"""
 
+  /** Deterministic fuzz payload: random mix of Russian/service/product
+    * words, numbers in assorted formats, units, currencies, punctuation,
+    * newlines, colons and multi-space runs — exercises branch combinations
+    * the structured shapes never hit. */
+  def fuzzPayload(seed: Long, id: Long): String = {
+    import Transcripts.{rngInt => ri}
+    val words = Array(
+      "Кабель", "силовой", "ВВГнг", "СИП-4", "перевозка", "итого", "всего",
+      "ИНН", "КПП", "банк", "поставщик", "наименование", "кол-во", "цена",
+      "сумма", "ед.изм", "шт", "кг", "м", "руб", "USD", "товар", "услуги",
+      "балткабель", "элком", "старт", "энергофорсаж", "договор", "счет",
+      "3х2,5", "№", "артикул", "widget", "amount", "поз", "дом", "корпус",
+      "-", ".", ",", ":", "1", "25", "1 234,56", "1,234.56", "12,5", "0",
+      "-7", "999999999", "5.", "..", "2025", "None", "nan", "ТУ", "х", "ё")
+    val seps = Array(" ", " ", "  ", "   ", "\n", "\n\n", ": ", "\t")
+    val len = 3 + ri(seed, id, 900, 60)
+    val sb = new StringBuilder
+    (0 until len).foreach { k =>
+      sb.append(words(ri(seed, id, 1000 + k, words.length)))
+      sb.append(seps(ri(seed, id, 2000 + k, seps.length)))
+    }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 1) args(1).toInt else 400
+    val fuzz = args.length > 2 && args(2) == "fuzz"
     val sb = new StringBuilder
     (0 until n).foreach { i =>
-      val text = Transcripts.payload(42L, i.toLong)
+      val text =
+        if (fuzz) fuzzPayload(if (args.length > 3) args(3).toLong else 977L, i.toLong)
+        else Transcripts.payload(42L, i.toLong)
       val shared = new ParserCommon.SharedLines(text)
       val seg = Segmentation.segmentShared(shared)
       val tables = seg.tables
