@@ -340,6 +340,47 @@ object SparkEntry {
       |  count(*) AS n_events
       |FROM s GROUP BY user_id""".stripMargin
 
+  // ---- relational coverage beyond the reference ---------------------------
+  // broadcast dim join + aggregation (the J3 cache shape on TPC-H tables)
+  private def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_returnflag")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+  }
+
+  private val oJoinAgg =
+    """SELECT p_brand, l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand, l_returnflag""".stripMargin
+
+  // grouping sets / rollup (integer-exact aggregates)
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+
+  private val oRollup =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // running window (per-key ordered cumulative sum over integer-valued qty)
+  private def qRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .where(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum("l_quantity").over(w).as("running_qty"))
+  }
+
+  private val oRunningSum =
+    """SELECT l_orderkey, l_linenumber,
+      |  sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem WHERE l_orderkey < 500""".stripMargin
+
   // ---- engine-level, rows-only entries ------------------------------------
   private def nTurns(dir: String): Long = math.max(500L, (sfOf(dir) * 100000).toLong)
 
@@ -408,7 +449,10 @@ object SparkEntry {
     "q23_embed_neardup" -> (qEmbedNearDup _),
     "q24_ann_topk" -> (qAnnTopK _),
     "q25_ann_lsh" -> (qAnnLsh _),
-    "q26_multimodal_meta" -> (qMultimodalMeta _))
+    "q26_multimodal_meta" -> (qMultimodalMeta _),
+    "q27_join_agg" -> (qJoinAgg _),
+    "q28_rollup" -> (qRollup _),
+    "q29_running_sum" -> (qRunningSum _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -427,7 +471,10 @@ object SparkEntry {
     "q14_lang_id" -> oLangId,
     "q15_token_counts" -> oTokenCounts,
     "q16_fingerprint" -> oFingerprint,
-    "q17_sessionize" -> oSessionize)
+    "q17_sessionize" -> oSessionize,
+    "q27_join_agg" -> oJoinAgg,
+    "q28_rollup" -> oRollup,
+    "q29_running_sum" -> oRunningSum)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -92,7 +92,14 @@ object ParityDump {
         "table_extractor" -> runSafe(TableExtractor.parse(tables)),
         "precise" -> runSafe(PreciseTableParser.parse(tables)),
         "profile" -> runSafe(SupplierProfiles.parseWithProfile(text, tables).items))
-      sb.append(s"""{"id":$i,"text":${jstr(text)},"tables":$tablesJson,""")
+      // full-envelope fields (A3 best-parser selection + A4 doc type)
+      val tr = Engine.parseTurn("c", 0, text)
+      val envelope =
+        s""""envelope":{"best_parser":${jstr(if (tr.best_parser.isEmpty) null else tr.best_parser)},""" +
+        s""""best_count":${tr.best_count},"best_total_cost":${tr.best_total_cost},""" +
+        s""""doc_type":${jstr(tr.doc_type)},""" +
+        s""""best_items":[${tr.best_items.map(jitem).mkString(",")}]}"""
+      sb.append(s"""{"id":$i,"text":${jstr(text)},"tables":$tablesJson,$envelope,""")
       sb.append(parsers.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(","))
       sb.append("}\n")
     }

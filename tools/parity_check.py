@@ -69,9 +69,37 @@ def run_ref(name, text, dfs):
 mismatch = 0
 checked = 0
 examples = []
+
+def check_envelope(rec, dfs):
+    """A3/A4 envelope parity vs UniversalParser.parse_document."""
+    env = rec.get("envelope")
+    if env is None:
+        return True, None
+    res = up.parse_document(rec["text"], dfs)
+    ref_env = {
+        "best_parser": res["best_parser"],
+        "best_count": res["count"],
+        "best_total_cost": round(res["total_cost"], 6),
+        "doc_type": res["document_type"],
+        "best_items": norm(res["best_items"]),
+    }
+    mine = {
+        "best_parser": env["best_parser"],
+        "best_count": env["best_count"],
+        "best_total_cost": round(env["best_total_cost"], 6),
+        "doc_type": env["doc_type"],
+        "best_items": norm(env["best_items"]),
+    }
+    return mine == ref_env, (mine, ref_env)
 for line in open(sys.argv[1]):
     rec = json.loads(line)
     dfs = build_tables(rec["tables"])
+    ok, pair = check_envelope(rec, dfs)
+    checked += 1
+    if not ok:
+        mismatch += 1
+        if len(examples) < 6:
+            examples.append((rec["id"], "ENVELOPE", pair[0], pair[1]))
     for pname in ["text_parser", "commercial", "invoice", "competitive", "universal",
                   "table_extractor", "precise", "profile"]:
         mine = rec[pname]
