@@ -412,6 +412,10 @@ object SparkEntry {
     graft.ann.Similarity.bruteForceTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
       nQueries = 10, k = 5)
 
+  private def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, nQueries = 10, topK = 5, k = 16, nProbe = 4)
+
   private def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Similarity.lshNearPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, nPlanes = 6, threshold = 0.3)
@@ -451,6 +455,7 @@ object SparkEntry {
     "q25_ann_lsh" -> (qAnnLsh _),
     "q26_multimodal_meta" -> (qMultimodalMeta _),
     "q27_join_agg" -> (qJoinAgg _),
+    "q30_ann_ivf" -> (qAnnIvf _),
     "q28_rollup" -> (qRollup _),
     "q29_running_sum" -> (qRunningSum _))
 

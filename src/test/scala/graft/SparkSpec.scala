@@ -169,6 +169,26 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(1))
   }
 
+  test("IVF top-k with full probing equals brute force; partial probing is a subset search") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = graft.ann.Similarity.bruteForceTopK(vecs, "vec_id", "embedding", nQueries = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probing ALL centroids must recover the exact brute-force result
+    val full = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 8,
+      nQueries = 4, topK = 3, k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // partial probing returns topK per query deterministically
+    val part1 = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 8,
+      nQueries = 4, topK = 3, k = 4, nProbe = 1).collect().map(_.toString).sorted
+    val part2 = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 8,
+      nQueries = 4, topK = 3, k = 4, nProbe = 1).collect().map(_.toString).sorted
+    assert(part1.sameElements(part2))
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
