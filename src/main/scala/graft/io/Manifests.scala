@@ -23,7 +23,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 object Manifests {
 
   final case class ChunkManifest(chunk: Int, rows: Long, bytes: Long, checksum: Long,
-                                 input: String, predicate: String)
+                                 input: String, predicate: String,
+                                 files: Seq[(String, Long)] = Nil)
 
   private def manifestPath(outDir: String, k: Int): Path =
     Paths.get(outDir, "manifest", f"chunk-$k%05d.json")
@@ -33,9 +34,12 @@ object Manifests {
   private def commit(outDir: String, m: ChunkManifest): Unit = {
     val dir = Paths.get(outDir, "manifest")
     Files.createDirectories(dir)
+    val filesJson = m.files
+      .map { case (name, sz) => s"""{"file":"$name","bytes":$sz}""" }
+      .mkString("[", ",", "]")
     val json =
       s"""{"chunk":${m.chunk},"rows":${m.rows},"bytes":${m.bytes},"checksum":${m.checksum},""" +
-      s""""input":"${m.input}","predicate":"${m.predicate}"}"""
+      s""""input":"${m.input}","predicate":"${m.predicate}","partition_files":$filesJson}"""
     val tmp = dir.resolve(f".chunk-${m.chunk}%05d.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(outDir, m.chunk), StandardCopyOption.ATOMIC_MOVE)
@@ -77,9 +81,17 @@ object Manifests {
             .as("checksum"))
         observed.write.mode("overwrite").parquet(s"$outDir/chunk=$k")
         val m = obs.get
+        // per-partition lineage: one parquet part-file per salted partition,
+        // recorded with its byte size (the task-level commit units)
+        val partFiles: Seq[(String, Long)] = {
+          val d = new java.io.File(s"$outDir/chunk=$k")
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+            .map(f => f.getName -> f.length()).toSeq
+        }
         commit(outDir, ChunkManifest(k,
           m("rows").asInstanceOf[Long], m("bytes").asInstanceOf[Long],
-          m("checksum").asInstanceOf[Long], inputDesc, predicate))
+          m("checksum").asInstanceOf[Long], inputDesc, predicate, partFiles))
         ran += 1
       }
     }

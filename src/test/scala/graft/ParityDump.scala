@@ -48,8 +48,13 @@ object ParityDump {
       "балткабель", "элком", "старт", "энергофорсаж", "договор", "счет",
       "3х2,5", "№", "артикул", "widget", "amount", "поз", "дом", "корпус",
       "-", ".", ",", ":", "1", "25", "1 234,56", "1,234.56", "12,5", "0",
-      "-7", "999999999", "5.", "..", "2025", "None", "nan", "ТУ", "х", "ё")
-    val seps = Array(" ", " ", "  ", "   ", "\n", "\n\n", ": ", "\t")
+      "-7", "999999999", "5.", "..", "2025", "None", "nan", "ТУ", "х", "ё",
+      "руб.", "шт.", "кг.", "м.", "л", "ЕВРО", "долл", "₽", "тонн", "штуки",
+      "м2", "м3", "км", "0,00", "00", "1.2.3", "1,2,3", "--", "Ё", "предложение",
+      "тендер", "аукцион", "получатель", "пл", "очер", "КАБ-12х400-1.5 ТУ",
+      "очень длинное наименование товара с многими словами подряд",
+      "12345678901234567890", "0.000001", "иНн", "Р/С", "к/с")
+    val seps = Array(" ", " ", "  ", "   ", "\n", "\n\n", ": ", "\t", "\r\n", "    ", "\n \n")
     val len = 3 + ri(seed, id, 900, 60)
     val sb = new StringBuilder
     (0 until len).foreach { k =>

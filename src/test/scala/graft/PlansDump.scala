@@ -1,0 +1,58 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Regenerates PLANS.md: formatted physical plans of the key pipelines,
+  * the evidence that pruning/pushdown/codegen/map-only claims hold. */
+object PlansDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical-plan evidence (regenerate: `Test/runMain graft.PlansDump`)\n\n")
+    def cap(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(f)
+      bos.toString("UTF-8")
+    }
+    def section(title: String, note: String)(f: => Unit): Unit = {
+      sb.append(s"## $title\n\n$note\n\n```\n")
+      val plan = cap(f)
+      // keep the tree + scan/exchange details, drop the giant serializer exprs
+      sb.append(plan.linesIterator.filter(l => l.length < 250).mkString("\n"))
+      sb.append("\n```\n\n")
+    }
+    graft.io.Transcripts.generateDF(spark, 200L).write.mode("overwrite").parquet("/tmp/plans_transcripts")
+    val turns = spark.read.parquet("/tmp/plans_transcripts")
+    section("Extraction pipeline (map-only)",
+      "Scan reads ONLY (conv_id, turn_idx, text); no Exchange anywhere — the " +
+      "extraction is embarrassingly parallel and scales with executor count.") {
+      Pipeline.extractTurns(turns).toDF().select("conv_id","turn_idx","best_count").explain("formatted")
+    }
+    section("q01 text metrics (pushdown + pruning + whole-stage codegen)",
+      "PushedFilters reach the parquet scan; ReadSchema is 2 columns; the " +
+      "projection runs inside WholeStageCodegen.") {
+      SparkEntry.queries("q01_text_metrics")(spark, dir).where("doc_id < 100").explain("formatted")
+    }
+    section("q07 group stats (map-side partial aggregation)",
+      "partial_* functions before the single Exchange — combine happens " +
+      "map-side, the shuffle carries pre-aggregated rows.") {
+      SparkEntry.queries("q07_group_stats")(spark, dir).explain("formatted")
+    }
+    section("q27 broadcast dimension join",
+      "The part dimension broadcasts (BroadcastHashJoin) — the fact side " +
+      "streams with no shuffle for the join itself.") {
+      SparkEntry.queries("q27_join_agg")(spark, dir).explain("formatted")
+    }
+    section("q02 parse_number (custom expression inside codegen)",
+      "ParseNumber emits a static call in doGenCode, so the projection stays " +
+      "in WholeStageCodegen — no UDF/encoder boundary.") {
+      SparkEntry.queries("q02_parse_number")(spark, dir).explain("formatted")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("PLANS.md written")
+    spark.stop()
+  }
+}
