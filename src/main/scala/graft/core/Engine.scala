@@ -82,8 +82,8 @@ object Engine {
       supplier_id = profileRes.flatMap(r => Option(r.supplierId)).getOrElse(""),
       parser_stats = results.map(r => ParserStat(r.parser, r.count, statTotal(r), r.avgConfidence)),
       best_items = best.items,
-      extracted_text = Segmentation.assembleText(t),
-      blocks = Segmentation.blocks(t),
+      extracted_text = Segmentation.assembleFromBlocks(seg.blocks),
+      blocks = seg.blocks,
       recommendations = recommendations(docType))
   }
 

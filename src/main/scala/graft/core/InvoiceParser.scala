@@ -113,7 +113,8 @@ object InvoiceParser {
   private def parseText(shared: SharedLines): Seq[Item] =
     shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
       if (!shared.hasDigit(lineIdx) ||
-          !passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineInvoice, Rules.serviceLineInvoice)) None
+          !passesStrictLinePrefilterHits(line, shared.lower(lineIdx),
+            shared.headerInvoice(lineIdx), shared.serviceInvoice(lineIdx))) None
       else parseLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.7))
     }.toSeq
 

@@ -17,6 +17,12 @@ object ParserCommon {
       if (text == null || text.isEmpty) Array.empty else text.split("\n", -1)
     val stripped: Array[String] = raw.map(_.strip())
     lazy val lower: Array[String] = stripped.map(Py.lower)
+    // per-line keyword-list hits, computed once and shared by the parsers
+    // that use identical lists (invoice+universal share both of theirs)
+    lazy val headerInvoice: Array[Boolean] =
+      lower.map(l => Py.containsAny(l, graft.rules.Rules.headerLineInvoice))
+    lazy val serviceInvoice: Array[Boolean] =
+      lower.map(l => Py.containsAny(l, graft.rules.Rules.serviceLineInvoice))
     /** ASCII-digit presence per line: any item a line-pattern can yield
       * requires a parseable qty/price (>0), which requires an ASCII digit
       * in the line — so digit-free lines can skip regex entirely with no
@@ -180,6 +186,18 @@ object ParserCommon {
                                 headerWords: Seq[String], serviceWords: Seq[String]): Boolean = {
     if (line.isEmpty || line.length < Rules.minLineLength) return false
     if (Py.containsAny(lower, headerWords) || Py.containsAny(lower, serviceWords)) return false
+    if (Patterns.matchAt(Patterns.allNumericLine, line)) return false
+    if (!Patterns.search(Patterns.hasLetter, line)) return false
+    if (Patterns.search(Patterns.itogoLine, lower)) return false
+    true
+  }
+
+  /** Variant with precomputed header/service hits (pure-boolean conditions —
+    * evaluation order does not affect the outcome). */
+  def passesStrictLinePrefilterHits(line: String, lower: String,
+                                    headerHit: Boolean, serviceHit: Boolean): Boolean = {
+    if (line.isEmpty || line.length < Rules.minLineLength) return false
+    if (headerHit || serviceHit) return false
     if (Patterns.matchAt(Patterns.allNumericLine, line)) return false
     if (!Patterns.search(Patterns.hasLetter, line)) return false
     if (Patterns.search(Patterns.itogoLine, lower)) return false

@@ -38,8 +38,10 @@ object Segmentation {
   /** The engine's normalized per-turn text: blocks of trimmed non-empty
     * lines joined with "\n", blocks joined with "\n\n" (span assembly —
     * the byte-compared "extracted text" of the north rule). */
-  def assembleText(text: String): String =
-    blocks(text).map { b =>
+  def assembleText(text: String): String = assembleFromBlocks(blocks(text))
+
+  def assembleFromBlocks(bs: IndexedSeq[String]): String =
+    bs.map { b =>
       b.split("\n", -1).map(_.strip()).filter(_.nonEmpty).mkString("\n")
     }.mkString("\n\n")
 

@@ -143,9 +143,7 @@ object UniversalCoreParser {
     shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
       if (line.isEmpty || line.length < Rules.minLineLength || !shared.hasDigit(lineIdx)) None
       else {
-        val lower = shared.lower(lineIdx)
-        if (Py.containsAny(lower, Rules.headerLineInvoice) ||
-            Py.containsAny(lower, Rules.serviceLineInvoice)) None
+        if (shared.headerInvoice(lineIdx) || shared.serviceInvoice(lineIdx)) None
         else if (Patterns.matchAt(Patterns.allNumericLine, line)) None
         else parseLine(line).map(_.copy(source = s"universal_text_line_$lineIdx", confidence = 0.7))
       }
