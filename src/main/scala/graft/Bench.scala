@@ -98,7 +98,8 @@ object Bench {
     val ceilBig = rounds.map(_._2.ceilingOps).max
     val ceilingEff =
       if (ceilSmall > 0 && ceilBig > 0) ceilBig / (ceilSmall * factor) else 1.0
-    val normalizedEff = efficiency / ceilingEff
+    // cap at 1.0: on noisy runs the extraction can out-scale the microbench
+    val normalizedEff = math.min(1.0, efficiency / ceilingEff)
 
     val spark = session(cpus)
 
