@@ -260,7 +260,35 @@ object SparkEntry {
   // ---- dedup: exact n-gram jaccard (bounded pair range) -------------------
   private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
-      k = 3, maxId = 60L, threshold = 0.05)
+      k = 3, maxId = 120L, threshold = 0.02)
+
+  // ---- dedup: near-dup clusters (connected components over pairs) ---------
+  private def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dedupClusters(
+      graft.dedup.Dedup.ngramJaccard(t(spark, dir, "documents"), "doc_id", "text",
+        k = 3, maxId = 120L, threshold = 0.02).select("id_a", "id_b"))
+
+  private val oDedupClusters =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id AS id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents WHERE doc_id < 120),
+      |sh AS (
+      |  SELECT id, list_distinct([array_to_string(tk[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)]) AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a, sh b WHERE a.id < b.id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE > 0.02),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""".stripMargin
 
   // ---- text analysis -------------------------------------------------------
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -285,6 +313,24 @@ object SparkEntry {
       |       WHEN hits_es > 0 THEN 'es'
       |       ELSE 'und' END AS pred_lang
       |FROM h""".stripMargin
+
+  private def qQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.qualityScore(t(spark, dir, "documents"))
+      .select("doc_id", "n_chars", "n_words", "avg_word_len", "stopword_hits", "is_quality")
+
+  private val oQuality =
+    """WITH q AS (SELECT doc_id,
+      |  len(text)::BIGINT AS n_chars,
+      |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+      |  len(replace(trim(text), ' ', ''))::DOUBLE /
+      |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS avg_word_len,
+      |  (contains(' '||lower(text)||' ', ' the ')::INT +
+      |   contains(' '||lower(text)||' ', ' a ')::INT +
+      |   contains(' '||lower(text)||' ', ' of ')::INT)::BIGINT AS stopword_hits
+      | FROM documents)
+      |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_hits,
+      |  n_words >= 20 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0 AS is_quality
+      |FROM q""".stripMargin
 
   private def qTokenCounts(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.tokenCounts(t(spark, dir, "documents"))
@@ -456,6 +502,8 @@ object SparkEntry {
     "q26_multimodal_meta" -> (qMultimodalMeta _),
     "q27_join_agg" -> (qJoinAgg _),
     "q30_ann_ivf" -> (qAnnIvf _),
+    "q31_dedup_clusters" -> (qDedupClusters _),
+    "q32_quality_score" -> (qQuality _),
     "q28_rollup" -> (qRollup _),
     "q29_running_sum" -> (qRunningSum _))
 
@@ -479,7 +527,9 @@ object SparkEntry {
     "q17_sessionize" -> oSessionize,
     "q27_join_agg" -> oJoinAgg,
     "q28_rollup" -> oRollup,
-    "q29_running_sum" -> oRunningSum)
+    "q29_running_sum" -> oRunningSum,
+    "q31_dedup_clusters" -> oDedupClusters,
+    "q32_quality_score" -> oQuality)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */
@@ -487,7 +537,7 @@ object SparkEntry {
     """WITH toks AS (
       |  SELECT doc_id AS id,
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
-      |  FROM documents WHERE doc_id < 60),
+      |  FROM documents WHERE doc_id < 120),
       |sh AS (
       |  SELECT id, list_distinct([array_to_string(tk[i:i+2], ' ')
       |    FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)]) AS s
@@ -498,5 +548,5 @@ object SparkEntry {
       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS uni
       |  FROM sh a, sh b WHERE a.id < b.id)
       |SELECT id_a, id_b, inter, uni, inter / uni::DOUBLE AS jaccard
-      |FROM pairs WHERE inter / uni::DOUBLE > 0.05""".stripMargin
+      |FROM pairs WHERE inter / uni::DOUBLE > 0.02""".stripMargin
 }

@@ -170,6 +170,39 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /**
+   * Near-duplicate clusters: connected components over candidate pairs,
+   * labeled by the component's minimum id. Iterative min-label propagation
+   * (large-star style): converges in O(log diameter) rounds; the driver
+   * loop checks a change count per round, which at corpus scale would be a
+   * fixed iteration budget + convergence metric instead. Deterministic.
+   */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), Seq("v"))
+        .groupBy("u").agg(min(col("vlabel")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") < col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** First-wins dedup window (A1 at corpus level): one row per key, winner =
     * lowest (orderCols). */
   def firstWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
