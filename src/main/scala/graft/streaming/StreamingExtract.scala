@@ -50,4 +50,31 @@ object StreamingExtract {
       .withWatermark("ts", "5 minutes")
       .groupBy(window(col("ts"), "10 minutes"), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
+
+  /** Per-conversation running state (custom stateful operator shape):
+    * tracks turns seen, item count and the max turn_idx per conv via
+    * mapGroupsWithState — the durable analog of the reference watcher's
+    * in-memory `processed_files` bookkeeping (ingest.py:24-58). */
+  final case class ConvState(n_turns: Long, n_items: Long, max_turn_idx: Int)
+  final case class ConvUpdate(conv_id: String, n_turns: Long, n_items: Long, max_turn_idx: Int)
+
+  def statefulConvTracker(turns: DataFrame): Dataset[ConvUpdate] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    graft.Pipeline.extractTurns(turns)
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.NoTimeout()) {
+        case (conv, rows, state) =>
+          val prev = state.getOption.getOrElse(ConvState(0L, 0L, -1))
+          var n = prev.n_turns; var items = prev.n_items; var mx = prev.max_turn_idx
+          rows.foreach { r =>
+            n += 1; items += r.best_count.toLong
+            if (r.turn_idx > mx) mx = r.turn_idx
+          }
+          val next = ConvState(n, items, mx)
+          state.update(next)
+          ConvUpdate(conv, next.n_turns, next.n_items, next.max_turn_idx)
+      }
+  }
 }

@@ -44,6 +44,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(outDir).count() == 250L)
   }
 
+  test("mapGroupsWithState tracks per-conversation running state across micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"
+    graft.io.Transcripts.generateDF(spark, 80L).write.mode("append").parquet(inDir)
+    val updDir = s"$base/updates"
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(graft.streaming.StreamingExtract.transcriptSchema).parquet(inDir)
+      val q = graft.streaming.StreamingExtract.statefulConvTracker(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.ConvUpdate], _: Long) =>
+          df.write.mode("append").parquet(updDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val rows = spark.read.parquet(updDir).collect()
+    val hot = rows.filter(_.getAs[String]("conv_id") == "conv-hot-00000000")
+    assert(hot.nonEmpty)
+    assert(hot.map(_.getAs[Long]("n_turns")).max == 4L) // 5% of 80
+    // second drop: checkpointed state carries over, counts grow past 4
+    graft.io.Transcripts.generate(spark, 160L).toDF().write.mode("append").parquet(inDir)
+    runOnce()
+    val rows2 = spark.read.parquet(updDir).collect()
+    val hot2 = rows2.filter(_.getAs[String]("conv_id") == "conv-hot-00000000")
+    assert(hot2.map(_.getAs[Long]("n_turns")).max > 4L)
+  }
+
   test("windowed per-conversation stats run with watermark (stateful shape)") {
     val turns = graft.io.Transcripts.generateDF(spark, 200L)
     val stats = graft.streaming.StreamingExtract.windowedConvStats(turns).collect()
