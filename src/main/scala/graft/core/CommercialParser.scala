@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -58,7 +60,7 @@ object CommercialParser {
           else {
             name = cleanName(name)
             val total = backfillIfNone(total0, qty, price)
-            val it = Item.base(name, qty, unit.strip(), price, "RUB", total,
+            val it = Item.base(name, qty, unit.pyStrip, price, "RUB", total,
               s"table_${tableIdx}_row_$rowIdx", 0.95)
             if (validate(it)) Some(it) else None
           }
@@ -119,7 +121,7 @@ object CommercialParser {
     }
     name = cleanName(name)
     val totalF = if (truthy(total)) total else Some(qty.get * price.get)
-    val it = Item.base(name, qty, unit.strip(), price, "RUB", totalF,
+    val it = Item.base(name, qty, unit.pyStrip, price, "RUB", totalF,
       s"table_${tableIdx}_row_$rowIdx", 0.8)
     if (validate(it)) Some(it) else None
   }
@@ -137,7 +139,7 @@ object CommercialParser {
       val m = p.matcher(line)
       if (!m.find()) None
       else try {
-        var name = m.group("name").strip()
+        var name = m.group("name").pyStrip
         val qty = Num.parse(m.group("qty"))
         val unit = Option(m.group("unit")).getOrElse("")
         val price = Num.parse(m.group("price"))

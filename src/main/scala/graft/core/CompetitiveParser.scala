@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -35,7 +37,7 @@ object CompetitiveParser {
   private def identifyByContent(header: IndexedSeq[Option[String]]): Map[String, Int] = {
     val mapping = mutable.LinkedHashMap.empty[String, Int]
     header.zipWithIndex.foreach { case (col, idx) =>
-      val s = Py.lower(Py.pyStr(col)).strip()
+      val s = Py.lower(Py.pyStr(col)).pyStrip
       if (Seq("№", "номер", "n", "number").exists(s.contains)) {
         // skip position-number columns
       } else if (!mapping.contains("name") && Seq("наимен", "название", "описание", "товар").exists(s.contains))
@@ -78,9 +80,9 @@ object CompetitiveParser {
           else if (isServiceRow(name, Rules.serviceRowShort)) None
           else {
             val total = backfillIfNone(total0, qty, price)
-            val cur = { val c = currency.strip(); if (c.nonEmpty) c else "RUB" }
-            val it = Item(name.strip(), "", qty, unit.strip(), price, cur, total,
-              supplier.strip(), s"table_${tableIdx}_row_$rowIdx", 0.95)
+            val cur = { val c = currency.pyStrip; if (c.nonEmpty) c else "RUB" }
+            val it = Item(name.pyStrip, "", qty, unit.pyStrip, price, cur, total,
+              supplier.pyStrip, s"table_${tableIdx}_row_$rowIdx", 0.95)
             if (validate(it)) Some(it) else None
           }
         }
@@ -138,8 +140,8 @@ object CompetitiveParser {
 
   /** R14 — key:value structured blocks (competitive_parser.py:387-455). */
   private[core] def parseStructuredText(text: String): Seq[Item] = {
-    val blocks = text.split("\\n\\s*\\n", -1)
-    blocks.toIndexedSeq.filter(_.strip().nonEmpty).flatMap { block =>
+    val blocks = Patterns.blockSplit.split(text, -1)
+    blocks.toIndexedSeq.filter(_.pyStrip.nonEmpty).flatMap { block =>
       parseStructuredBlock(block).map(_.copy(source = "structured_text", confidence = 0.9))
     }
   }
@@ -152,12 +154,12 @@ object CompetitiveParser {
     var currency: Option[String] = None
     var total: Option[Option[Double]] = None
     var supplier: Option[String] = None
-    block.strip().split("\n", -1).foreach { raw =>
-      val line = raw.strip()
+    block.pyStrip.split("\n", -1).foreach { raw =>
+      val line = raw.pyStrip
       if (line.nonEmpty && line.contains(":")) {
         val Array(k, v) = line.split(":", 2)
-        val key = Py.lower(k.strip())
-        val value = v.strip()
+        val key = Py.lower(k.pyStrip)
+        val value = v.pyStrip
         if (Seq("наименование", "название", "товар").exists(key.contains)) name = Some(value)
         else if (Seq("количество", "кол-во", "кол", "объем").exists(key.contains)) qty = Some(Num.parse(value))
         else if (Seq("единица", "ед.изм", "ед").exists(key.contains)) unit = Some(value)
@@ -185,7 +187,7 @@ object CompetitiveParser {
   /** R13 — token-class table-line splitter (competitive_parser.py:612-679). */
   private[core] def parseTableLine(line: String, lineIdx: Int): Option[Item] = {
     try {
-      val parts = line.split("\\s+").filter(_.nonEmpty)
+      val parts = Py.pySplit(line) // Python line.split()
       if (parts.length < 3) return None
       val nameParts = parts.filter(p => Patterns.matchAt(Patterns.startsWithLetter, p))
       val numberParts = parts.filter(p => Patterns.matchAt(Patterns.numericToken, p))
@@ -209,7 +211,7 @@ object CompetitiveParser {
       val m = p.matcher(line)
       if (!m.find()) None
       else try {
-        var name = m.group("name").strip()
+        var name = m.group("name").pyStrip
         val qty = Num.parse(m.group("qty"))
         var unit = Option(m.group("unit")).getOrElse("")
         val price = Num.parse(m.group("price"))
@@ -220,9 +222,9 @@ object CompetitiveParser {
           if (g != null && g.nonEmpty) total = Num.parse(g)
         }
         if (total.isEmpty && truthy(qty) && truthy(price)) total = Some(qty.get * price.get)
-        name = name.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        name = Py.pySplit(name).mkString(" ") // ' '.join(name.split())
         if (unit.nonEmpty) {
-          unit = unit.strip()
+          unit = unit.pyStrip
           unit = Patterns.unitCleanup.matcher(unit).replaceAll("")
         }
         val it = Item(name, "", qty, unit, price, currency, total, "", "regex_match", 0.85)

@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model._
 import graft.rules.Rules
 import ParserCommon.PyTypeError
@@ -69,7 +71,7 @@ object Engine {
       n_chars = t.length,
       n_lines = seg.lines.length,
       n_tables = tables.length,
-      has_text = t.strip().length >= Rules.minTextLength,
+      has_text = t.pyStrip.length >= Rules.minTextLength,
       needs_fallback = needsFallbackLower(t, lowerText, tables),
       doc_type = docType,
       invoice_score = invS, commercial_score = comS,
@@ -143,7 +145,7 @@ object Engine {
   def isBestSelectable(it: Item): Boolean = {
     val name = Py.lower(String.valueOf(it.name))
     if (Py.containsAny(name, Rules.bestSelectionServiceWords)) return false
-    if (name.strip().length <= 10) return false
+    if (name.pyStrip.length <= 10) return false
     if (!name.exists(_.isLetter)) return false
     Py.containsAny(name, Rules.bestSelectionProductWords)
   }
@@ -196,7 +198,7 @@ object Engine {
     needsFallbackLower(text, Py.lower(text), tables)
 
   def needsFallbackLower(text: String, lower: String, tables: Seq[Tab]): Boolean = {
-    if (text.strip().length < 100) return true
+    if (text.pyStrip.length < 100) return true
     if (Rules.qualityGateKeywords.count(lower.contains) < 2) return true
     if (tables.nonEmpty && !tables.exists(t => t.rows.length > 1 && t.nCols > 2)) return true
     false

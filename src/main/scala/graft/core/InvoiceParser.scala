@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -70,7 +72,7 @@ object InvoiceParser {
           else {
             name = Py.cleanName(name)
             val total = backfillIfNone(total0, qty, price)
-            val it = Item(name, article.strip(), qty, unit.strip(), price, "RUB", total, "",
+            val it = Item(name, article.pyStrip, qty, unit.pyStrip, price, "RUB", total, "",
               s"table_${tableIdx}_row_$rowIdx", 0.95)
             if (validate(it)) Some(it) else None
           }
@@ -104,7 +106,7 @@ object InvoiceParser {
     val total0 = if (values.length > 6) Num.parse(values(6)) else None
     name = Py.cleanName(name)
     val total = if (truthy(total0)) total0 else Some(qty.get * price.get)
-    val it = Item(name, article.strip(), qty, unit.strip(), price, "RUB", total, "",
+    val it = Item(name, article.pyStrip, qty, unit.pyStrip, price, "RUB", total, "",
       s"table_${tableIdx}_row_$rowIdx", 0.8)
     if (validate(it)) Some(it) else None
   }
@@ -124,7 +126,7 @@ object InvoiceParser {
       if (!m.find()) None
       else try {
         val article = Option(m.group("article")).getOrElse("")
-        var name = m.group("name").strip()
+        var name = m.group("name").pyStrip
         val qty = Num.parse(m.group("qty"))
         val unit = Option(m.group("unit")).getOrElse("")
         val price = Num.parse(m.group("price"))
@@ -139,7 +141,7 @@ object InvoiceParser {
 
   /** invoice_parser.py:491-514 */
   def validate(it: Item): Boolean = {
-    if (it.name == null || it.name.strip().length < 2) return false
+    if (it.name == null || it.name.pyStrip.length < 2) return false
     if (it.qty.isEmpty || it.price.isEmpty) return false
     if (it.qty.get <= 0 || it.price.get <= 0) return false
     if (isServiceRow(it.name, Rules.serviceRowInvoice)) return false

@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import scala.collection.mutable
@@ -15,7 +17,7 @@ object ParserCommon {
   final class SharedLines(val text: String) {
     val raw: Array[String] =
       if (text == null || text.isEmpty) Array.empty else text.split("\n", -1)
-    val stripped: Array[String] = raw.map(_.strip())
+    val stripped: Array[String] = raw.map(_.pyStrip)
     lazy val lower: Array[String] = stripped.map(Py.lower)
     // per-line keyword-list hits, computed once and shared by the parsers
     // that use identical lists (invoice+universal share both of theirs)
@@ -35,7 +37,8 @@ object ParserCommon {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c >= '0' && c <= '9') return true
+        // Unicode Nd too: Python float() parses e.g. Arabic-Indic digits
+        if ((c >= '0' && c <= '9') || Character.isDigit(c)) return true
         i += 1
       }
       false
@@ -48,7 +51,7 @@ object ParserCommon {
     val seen = mutable.HashSet.empty[(String, Option[Double], Option[Double])]
     val out = mutable.ArrayBuffer.empty[Item]
     items.foreach { it =>
-      val key = (Py.lower(it.name).strip(), it.qty, it.price)
+      val key = (Py.lower(it.name).pyStrip, it.qty, it.price)
       if (seen.add(key)) out += it
     }
     out.toSeq
@@ -69,7 +72,7 @@ object ParserCommon {
                     clean: Boolean): mutable.LinkedHashMap[String, Int] = {
     val mapping = mutable.LinkedHashMap.empty[String, Int]
     header.zipWithIndex.foreach { case (col, idx) =>
-      val raw = Py.lower(Py.pyStr(col)).strip()
+      val raw = Py.lower(Py.pyStr(col)).pyStrip
       val colStr = if (clean) Py.cleanColName(Py.pyStr(col)) else raw
       var break_ = false
       fields.foreach { case (field, synonyms) =>
@@ -115,10 +118,10 @@ object ParserCommon {
   /** Non-null, non-empty stripped cell values of a row (the content-fallback
     * `row_values` collection, invoice_parser.py:256-259). */
   def rowValues(row: IndexedSeq[Option[String]]): IndexedSeq[String] =
-    row.flatten.map(_.strip()).filter(_.nonEmpty)
+    row.flatten.map(_.pyStrip).filter(_.nonEmpty)
 
   def isEmptyName(name: String): Boolean = {
-    val s = name.strip()
+    val s = name.pyStrip
     s.isEmpty || s == "nan" || s == "None"
   }
 
@@ -145,7 +148,7 @@ object ParserCommon {
   /** Shared basic validation (parser.py:283-297): name len>=2, qty/price
     * present and > 0. */
   def validateBasic(it: Item): Boolean =
-    it.name != null && it.name.strip().length >= 2 &&
+    it.name != null && it.name.pyStrip.length >= 2 &&
       it.qty.isDefined && it.price.isDefined &&
       it.qty.get > 0 && it.price.get > 0
 
@@ -158,7 +161,7 @@ object ParserCommon {
     if (Py.containsAny(name, serviceWords)) return false
     if (!Patterns.search(Patterns.hasLetter2, name)) return false
     if (it.qty.get <= 0 || it.price.get <= 0) return false
-    if (name.strip().length < 5) return false
+    if (name.pyStrip.length < 5) return false
     true
   }
 
@@ -170,7 +173,7 @@ object ParserCommon {
     if (Py.containsAny(name, excludeWords)) return false
     if (!Patterns.search(Patterns.hasLetter2, name)) return false
     if (it.qty.get <= 0 || it.price.get <= 0) return false
-    if (name.strip().length < 5) return false
+    if (name.pyStrip.length < 5) return false
     if (Patterns.productPatterns.exists(p => Patterns.search(p, name))) return true
     if (Patterns.search(Patterns.techSpecDim, name) || Patterns.search(Patterns.techSpecUnit, name)) return true
     false

@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -95,7 +97,7 @@ object SupplierProfiles {
 
   private def isCompatibleTable(p: Profile, t: Tab): Boolean = {
     if (p.headerPatterns.isEmpty) return true
-    val headersText = t.header.flatten.filter(_.strip().nonEmpty).mkString(" ")
+    val headersText = t.header.flatten.filter(_.pyStrip.nonEmpty).mkString(" ")
     p.headerPatterns.exists(pat => Patterns.search(Patterns.profilePattern(pat), headersText))
   }
 
@@ -119,9 +121,9 @@ object SupplierProfiles {
                 case "qty" => qty = cell.flatMap(Num.parse)
                 case "price" => price = cell.flatMap(Num.parse)
                 case "total" => total = cell.flatMap(Num.parse)
-                case "name" => name = cell.map(_.strip())
-                case "article" => articleMapped = true; article = cell.map(_.strip())
-                case "unit" => unitMapped = true; unit = cell.map(_.strip())
+                case "name" => name = cell.map(_.pyStrip)
+                case "article" => articleMapped = true; article = cell.map(_.pyStrip)
+                case "unit" => unitMapped = true; unit = cell.map(_.pyStrip)
                 case _ => // number — extracted but unused in the item
               }
             }

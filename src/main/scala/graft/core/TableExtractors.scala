@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -67,7 +69,7 @@ object TableExtractor {
           row(colIdx) match {
             case Some(v) =>
               if (field == "qty" || field == "price" || field == "total") nums(field) = Num.parse(v)
-              else f(field) = Some(v.strip())
+              else f(field) = Some(v.pyStrip)
             case None =>
               if (field == "qty" || field == "price" || field == "total") nums(field) = None
               else f(field) = None
@@ -173,7 +175,7 @@ object PreciseTableParser {
       if (m.contains("unit") && f.getOrElse("unit", None).forall(_.isEmpty)) {
         val unitCol = m("unit")
         if (unitCol + 1 < row.length) row(unitCol + 1).foreach { uv =>
-          val u = uv.strip()
+          val u = uv.pyStrip
           if (u.nonEmpty && u != "None" && u.length <= 5) f("unit") = Some(u)
         }
       }
@@ -183,7 +185,7 @@ object PreciseTableParser {
         var merged = f("name").get
         (1 to 4).foreach { i =>
           if (nameCol + i < row.length) row(nameCol + i).foreach { nv =>
-            val n = nv.strip()
+            val n = nv.pyStrip
             if (n.nonEmpty && n != "None" && n.length > 2)
               merged = merged + " " + Py.collapseWs(n)
           }

@@ -20,11 +20,45 @@ final case class Tab(header: IndexedSeq[Option[String]], rows: IndexedSeq[Indexe
   def nCols: Int = header.length
 }
 
-/** Python-semantics string helpers (Unicode classes, casefolding). */
+/** Python-semantics string helpers (Unicode classes, casefolding).
+  *
+  * Whitespace fidelity: Python has TWO whitespace sets —
+  *  - `str.strip()/str.split()/re \s` = Unicode White_Space PLUS the bidi
+  *    B/S controls U+001C-001F (and U+0085);
+  *  - `float()` end-stripping = Unicode White_Space only (rejects U+001C).
+  * Java's `String.strip` (isWhitespace) misses NBSP/U+0085; Java regex `\s`
+  * with UNICODE_CHARACTER_CLASS misses U+001C-1F. Both are patched here.
+  */
 object Py {
-  private val wsRun = Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+  private val wsRun = Pattern.compile("[\\s\\x1c-\\x1f]+", Pattern.UNICODE_CHARACTER_CLASS)
   private val nlRun = Pattern.compile("\\n+")
-  private val nonWordSpace = Pattern.compile("[^\\w\\s]", Pattern.UNICODE_CHARACTER_CLASS)
+  private val nonWordSpace = Pattern.compile("[^\\w\\s\\x1c-\\x1f]", Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Python str whitespace: Character.isWhitespace (covers \t\n\x1c-\x1f,
+    * Zs-without-noBreak...) OR isSpaceChar (covers NBSP/Zs/Zl/Zp) OR NEL. */
+  def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
+
+  /** Python str.strip(). */
+  def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Python str.split() (no argument): split on runs of str-whitespace,
+    * no empty tokens. */
+  def pySplit(s: String): Array[String] =
+    wsRun.split(pyStrip(s), -1) match {
+      case arr if arr.length == 1 && arr(0).isEmpty => Array.empty
+      case arr => arr
+    }
+
+  implicit final class PyStringOps(private val s: String) extends AnyVal {
+    def pyStrip: String = Py.pyStrip(s)
+  }
 
   /** `str(cell)` over an optional cell: missing -> "None" (pandas NaN str). */
   def pyStr(cell: Option[String]): String = cell.getOrElse("None")
@@ -33,21 +67,21 @@ object Py {
   def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 
   /** Python str.strip(). */
-  def strip(s: String): String = s.strip()
+  def strip(s: String): String = pyStrip(s)
 
   /** `_clean_name` (invoice_parser.py:413-420): \s+ -> ' ', \n+ -> ' ', strip. */
   def cleanName(name: String): String = {
     var n = wsRun.matcher(name).replaceAll(" ")
     n = nlRun.matcher(n).replaceAll(" ")
-    n.strip()
+    pyStrip(n)
   }
 
   /** Column-name cleanup used by synonym matchers
     * (universal_parser.py:478-479): lower, [^\w\s] -> ' ', collapse spaces. */
   def cleanColName(col: String): String = {
-    var s = lower(col).strip()
+    var s = pyStrip(lower(col))
     s = nonWordSpace.matcher(s).replaceAll(" ")
-    s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    pySplit(s).mkString(" ") // ' '.join(s.split())
   }
 
   /** any(indicator in s for indicator in words) over a lowercase string. */
@@ -55,20 +89,29 @@ object Py {
     words.exists(sLower.contains)
 
   /** Collapse \s+ to ' ' then strip (precise_table_parser.py:145,297). */
-  def collapseWs(s: String): String = wsRun.matcher(s).replaceAll(" ").strip()
+  def collapseWs(s: String): String = pyStrip(wsRun.matcher(s).replaceAll(" "))
 }
 
 /** Compiled regex patterns with Python-equivalent flags. */
 object Patterns {
   import graft.rules.Rules
 
+  /** Compile with Python-re-equivalent semantics. Besides the Unicode
+    * flags, Python's \s additionally matches the bidi controls U+001C-1F
+    * (not in Unicode White_Space, so Java's UNICODE \s misses them) — every
+    * `\s` is widened to the union class. Safe textually: `\s` only ever
+    * appears inside a class (nested-class union) or as `\s+`/`\s*`. */
+  /** UNIX_LINES: Python's `.`/`^`/`$` recognize ONLY \n as a line
+    * terminator; Java without this flag also breaks on \r, U+0085,
+    * U+2028/29 — a real divergence under exotic whitespace. */
   private def py(p: String): Pattern =
-    Pattern.compile(p,
+    Pattern.compile(p.replace("\\s", "[\\s\\x1c-\\x1f]"),
       Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE |
-      Pattern.MULTILINE | Pattern.UNICODE_CHARACTER_CLASS)
+      Pattern.MULTILINE | Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES)
 
   // exact-match helpers (Python re.match anchors at start only)
-  val digitsOnly: Pattern = Pattern.compile("^\\d+$")
+  // \d must be Unicode Nd, like Python's (e.g. Arabic-Indic digits match)
+  val digitsOnly: Pattern = Pattern.compile("^\\d+$", Pattern.UNICODE_CHARACTER_CLASS)
   val allNumericLine: Pattern = py("^[\\d\\s\\.,]+$")
   val hasLetter: Pattern = py("[а-яёa-z]")
   val hasCyr2: Pattern = Pattern.compile("[А-Яа-я]{2,}") // universal_parser.py:406 (no IGNORECASE)
@@ -82,7 +125,12 @@ object Patterns {
   val commercialTechPrefix: Pattern =
     Pattern.compile(Rules.commercialTechPrefix, Pattern.UNICODE_CHARACTER_CLASS) // no IGNORECASE in reference
   val startsWithLetter: Pattern = py("^[а-яёa-z]")
-  val numericToken: Pattern = Pattern.compile("^[\\d\\.,]+$")
+  val numericToken: Pattern = Pattern.compile("^[\\d\\.,]+$", Pattern.UNICODE_CHARACTER_CLASS)
+  /** Python str.split()-equivalent separator runs (R13 tokenizer). */
+  val pySplitRun: Pattern = Pattern.compile("[\\s\\x1c-\\x1f]+", Pattern.UNICODE_CHARACTER_CLASS)
+  /** re.split(r'\n\s*\n') with Python \s (T5 block splitter). */
+  val blockSplit: Pattern =
+    Pattern.compile("\\n[\\s\\x1c-\\x1f]*\\n", Pattern.UNICODE_CHARACTER_CLASS)
 
   val textPatterns: Seq[Pattern] = Seq(py(Rules.textP1), py(Rules.textP2), py(Rules.textP3))
   val invoicePatterns: Seq[Pattern] = Seq(py(Rules.invoiceP1))
@@ -96,7 +144,8 @@ object Patterns {
 
   /** profile header compat patterns (supplier_profiles.py:298-299 etc.) */
   def profilePattern(p: String): Pattern =
-    Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE | Pattern.UNICODE_CHARACTER_CLASS)
+    Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE |
+      Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES)
 
   /** re.search equivalent. */
   def search(p: Pattern, s: String): Boolean = p.matcher(s).find()

@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -50,7 +52,7 @@ object TextParser {
     table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
       // ' '.join(str(cell) for cell in row if notna) (parser.py:187)
       val rowText = row.flatten.mkString(" ")
-      if (rowText.strip().nonEmpty)
+      if (rowText.pyStrip.nonEmpty)
         parseSingleLine(rowText).map(_.copy(source = s"table_${tableIdx}_row_$rowIdx", confidence = 0.7))
       else None
     }
@@ -68,7 +70,7 @@ object TextParser {
       val m = p.matcher(line)
       if (!m.find()) None
       else try {
-        val name = m.group("name").strip()
+        val name = m.group("name").pyStrip
         val qty = Num.parse(m.group("qty"))
         // m.group("unit") THROWS when the pattern lacks the group — mirroring
         // Python's IndexError that makes pattern 3 (no unit group) dead code

@@ -1,5 +1,7 @@
 package graft.core
 
+import graft.core.Py.PyStringOps
+
 import graft.model.Item
 import graft.rules.Rules
 import ParserCommon._
@@ -35,7 +37,7 @@ object UniversalCoreParser {
   private[core] def byPositionUniversal(table: Tab): Map[String, Int] = {
     val n = table.nCols
     val headersLower = Py.lower(
-      table.header.flatten.map(_.toString).filter(_.strip().nonEmpty).mkString(" "))
+      table.header.flatten.map(_.toString).filter(_.pyStrip.nonEmpty).mkString(" "))
     var mapping = Map.empty[String, Int]
     if ((headersLower.contains("наименование") || headersLower.contains("товары")) &&
         (headersLower.contains("кол-во") || headersLower.contains("количество")) &&
@@ -81,7 +83,7 @@ object UniversalCoreParser {
           else {
             name = Py.cleanName(name)
             val total = backfillIfNone(total0, qty, price)
-            val it = Item(name, article.strip(), qty, unit.strip(), price, "RUB", total, "",
+            val it = Item(name, article.pyStrip, qty, unit.pyStrip, price, "RUB", total, "",
               s"universal_table_${tableIdx}_row_$rowIdx", 0.9)
             if (validate(it)) Some(it) else None
           }
@@ -111,7 +113,7 @@ object UniversalCoreParser {
       var price: Option[Double] = None
       var total: Option[Double] = None
       values.foreach { v =>
-        val vc = v.strip()
+        val vc = v.pyStrip
         var consumed = false
         if (number.isEmpty && Patterns.matchAt(Patterns.digitsOnly, vc)) { number = Some(vc); consumed = true }
         if (!consumed && name.isEmpty && Patterns.search(Patterns.hasCyr2, vc) && vc.length > 5) {
@@ -154,7 +156,7 @@ object UniversalCoreParser {
       val m = p.matcher(line)
       if (!m.find()) None
       else try {
-        var name = m.group("name").strip()
+        var name = m.group("name").pyStrip
         val qty = Num.parse(m.group("qty"))
         // pattern 2 lacks the 'unit' group -> group() throws -> pattern dead,
         // mirroring the reference's IndexError (universal_parser.py:677)

@@ -53,8 +53,12 @@ object ParityDump {
       "м2", "м3", "км", "0,00", "00", "1.2.3", "1,2,3", "--", "Ё", "предложение",
       "тендер", "аукцион", "получатель", "пл", "очер", "КАБ-12х400-1.5 ТУ",
       "очень длинное наименование товара с многими словами подряд",
-      "12345678901234567890", "0.000001", "иНн", "Р/С", "к/с")
-    val seps = Array(" ", " ", "  ", "   ", "\n", "\n\n", ": ", "\t", "\r\n", "    ", "\n \n")
+      "12345678901234567890", "0.000001", "иНн", "Р/С", "к/с",
+      // exotic whitespace / digit forms (Python-vs-Java divergence zone)
+      "1\u00a0234,56", "\u00a0", "\u0085", "\u001c", "\u2007", "\u3000",
+      "\u0665\u0666", "7\u00a0", "\u00a07", "1\u001c2", "шт\u00a0", "5\u0665")
+    val seps = Array(" ", " ", "  ", "   ", "\n", "\n\n", ": ", "\t", "\r\n", "    ", "\n \n",
+      "\u00a0", "\n\u00a0\n", "\u001c", " \u0085 ")
     val len = 3 + ri(seed, id, 900, 60)
     val sb = new StringBuilder
     (0 until len).foreach { k =>
