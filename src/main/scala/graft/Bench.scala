@@ -28,7 +28,7 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  final case class PinnedResult(bestSec: Double, ceilingOps: Double)
+  final case class PinnedResult(bestSec: Double, ceilingOps: Double, ceilingSmallOps: Double)
 
   /** Run [[ScalingRunner]] in a child JVM pinned to `cpus` CPUs (taskset):
     * the honest N-core-executor emulation — see ScalingRunner scaladoc.
@@ -36,7 +36,7 @@ object Bench {
     * thread count. Identical JVM config (ParallelGC, large young gen — the
     * right collector for this allocation-heavy batch shape) at both levels,
     * per the "same job, two parallelism levels" rule. */
-  private def pinnedRun(cpus: Int, n: Long, reps: Int): PinnedResult = {
+  private def pinnedRun(cpus: Int, n: Long, reps: Int, ceilSmall: Int = 0): PinnedResult = {
     val javaHome = System.getProperty("java.home")
     val cp = System.getProperty("java.class.path")
     val addOpens = Seq(
@@ -51,7 +51,7 @@ object Bench {
     val javaCmd = Seq(s"$javaHome/bin/java") ++ addOpens ++ Seq(
       "-XX:+UseParallelGC", s"-Xmx$xmx", s"-Xmn$xmn",
       "-Dspark.ui.enabled=false", "-cp", cp,
-      "graft.ScalingRunner", cpus.toString, n.toString, reps.toString)
+      "graft.ScalingRunner", cpus.toString, n.toString, reps.toString, ceilSmall.toString)
     val cmd =
       if (new java.io.File("/usr/bin/taskset").exists())
         Seq("/usr/bin/taskset", "-c", s"0-${cpus - 1}") ++ javaCmd
@@ -64,9 +64,11 @@ object Bench {
     proc.waitFor()
     val best = "best_sec=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
       .getOrElse(throw new RuntimeException(s"scaling child failed:\n${out.takeRight(2000)}"))
-    val ceiling = "ops_per_sec=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
-      .getOrElse(0.0)
-    PinnedResult(best, ceiling)
+    val ceilSm = "CEILING_SMALL cpus=\\d+ ops_per_sec=([0-9.]+)".r
+      .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
+    val ceiling = "CEILING_RESULT cpus=\\d+ ops_per_sec=([0-9.]+)".r
+      .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
+    PinnedResult(best, ceiling, ceilSm)
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,8 +86,8 @@ object Bench {
     // when the driver grants few cores (throughput ~2k turns/sec/core)
     val scalingTurns = math.min(nTurns, 30000L * small)
     val rounds = Seq(
-      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3)),
-      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3)))
+      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3, ceilSmall = small)),
+      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3, ceilSmall = small)))
     val rSmall = rounds.map(_._1).minBy(_.bestSec)
     val rBig = rounds.map(_._2).minBy(_.bestSec)
     val thrSmall = scalingTurns / rSmall.bestSec
@@ -94,10 +96,14 @@ object Bench {
     val efficiency = thrBig / (thrSmall * factor)
     // single-box thread-scaling ceiling for string work (see ScalingRunner):
     // the cluster-predictive number is efficiency normalized by it
-    val ceilSmall = rounds.map(_._1.ceilingOps).max
+    // both ceiling samples come from the BIG pinned JVM (same warm JIT);
+    // a thread-scaling "efficiency" above 1.0 is measurement noise -> clamp
+    val ceilSmallOps = rounds.map(_._2.ceilingSmallOps).max
     val ceilBig = rounds.map(_._2.ceilingOps).max
     val ceilingEff =
-      if (ceilSmall > 0 && ceilBig > 0) ceilBig / (ceilSmall * factor) else 1.0
+      if (ceilSmallOps > 0 && ceilBig > 0)
+        math.min(1.0, ceilBig / (ceilSmallOps * factor))
+      else 1.0
     // cap at 1.0: on noisy runs the extraction can out-scale the microbench
     val normalizedEff = math.min(1.0, efficiency / ceilingEff)
 

@@ -54,6 +54,12 @@ object ScalingRunner {
     val cpus = args(0).toInt
     val n = args(1).toLong
     val reps = if (args.length > 2) args(2).toInt else 4
+    // optional 4th arg: also measure the ceiling at this smaller thread
+    // count INSIDE this same (big) JVM — back-to-back, same warm JIT, same
+    // hardware slice; far less variance than comparing two JVMs
+    val ceilSmall = if (args.length > 3) args(3).toInt else 0
+    if (ceilSmall > 0)
+      println(f"CEILING_SMALL cpus=$ceilSmall ops_per_sec=${ceilingOpsPerSec(ceilSmall)}%.0f")
     println(f"CEILING_RESULT cpus=$cpus ops_per_sec=${ceilingOpsPerSec(cpus)}%.0f")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
