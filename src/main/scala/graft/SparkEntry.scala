@@ -332,6 +332,14 @@ object SparkEntry {
       |  n_words >= 20 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0 AS is_quality
       |FROM q""".stripMargin
 
+  private def qSample(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.deterministicSample(
+      t(spark, dir, "documents").select("doc_id", "lang", "n_chars"), "doc_id", 64)
+
+  private val oSample =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '40'""".stripMargin
+
   private def qTokenCounts(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.tokenCounts(t(spark, dir, "documents"))
       .select("doc_id", "ws_tokens", "word_tokens")
@@ -504,6 +512,7 @@ object SparkEntry {
     "q30_ann_ivf" -> (qAnnIvf _),
     "q31_dedup_clusters" -> (qDedupClusters _),
     "q32_quality_score" -> (qQuality _),
+    "q33_det_sample" -> (qSample _),
     "q28_rollup" -> (qRollup _),
     "q29_running_sum" -> (qRunningSum _))
 
@@ -529,7 +538,8 @@ object SparkEntry {
     "q28_rollup" -> oRollup,
     "q29_running_sum" -> oRunningSum,
     "q31_dedup_clusters" -> oDedupClusters,
-    "q32_quality_score" -> oQuality)
+    "q32_quality_score" -> oQuality,
+    "q33_det_sample" -> oSample)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -66,6 +66,18 @@ object TextAnalysis {
         size(filter(split(lower(t), "[^a-z0-9]+"), x => x =!= "")).cast("long"))
   }
 
+  /** Deterministic hash-based sampling: keep a row iff the first byte of
+    * md5(id) falls under the rate — seed-free, engine-portable (md5 is
+    * identical everywhere), stable under re-runs and resharding. The
+    * training-data downsampling primitive (optionally stratified by any
+    * column simply by choosing per-stratum rates). */
+  def deterministicSample(df: DataFrame, idCol: String, keepOutOf256: Int): DataFrame = {
+    // lexicographic compare on the fixed-width lowercase hex prefix ==
+    // numeric compare ('0'-'9' < 'a'-'f'), portable across engines
+    val bound = f"$keepOutOf256%02x"
+    df.where(substring(md5(col(idCol).cast("string")), 1, 2) < bound)
+  }
+
   /** Fingerprinting: md5 of the normalized text + an 8-hex-char bucket. */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
