@@ -83,17 +83,23 @@ object Bench {
     // sample of each.
     val small = math.max(1, cpus / 4)
     // size the scaling workload to keep a small-config rep under ~15s even
-    // when the driver grants few cores (throughput ~2k turns/sec/core)
-    val scalingTurns = math.min(nTurns, 30000L * small)
-    val rounds = Seq(
-      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3, ceilSmall = small)),
-      (pinnedRun(small, scalingTurns, reps = 3), pinnedRun(cpus, scalingTurns, reps = 3, ceilSmall = small)))
+    // when the driver grants few cores (~800 turns/sec/core incl. overhead
+    // at very low core counts)
+    val scalingTurns = math.min(nTurns, 10000L * small)
+    // low-core configs are slow per rep — shrink the protocol to stay
+    // within the driver's time budget
+    val reps = 3
+    val nRounds = if (cpus >= 16) 2 else 1
+    val rounds = (1 to nRounds).map { _ =>
+      (pinnedRun(small, scalingTurns, reps), pinnedRun(cpus, scalingTurns, reps, ceilSmall = small))
+    }
     val rSmall = rounds.map(_._1).minBy(_.bestSec)
     val rBig = rounds.map(_._2).minBy(_.bestSec)
     val thrSmall = scalingTurns / rSmall.bestSec
     val thrBig = scalingTurns / rBig.bestSec
     val factor = cpus.toDouble / small
-    val efficiency = thrBig / (thrSmall * factor)
+    // >1 means the small-config sample was degraded by host noise; clamp
+    val efficiency = math.min(1.0, thrBig / (thrSmall * factor))
     // single-box thread-scaling ceiling for string work (see ScalingRunner):
     // the cluster-predictive number is efficiency normalized by it
     // both ceiling samples come from the BIG pinned JVM (same warm JIT);
