@@ -468,7 +468,11 @@ object SparkEntry {
 
   private def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, nQueries = 10, topK = 5, k = 16, nProbe = 4)
+      nQueries = 10, topK = 5, k = 16, nProbe = 4, trainCap = 4096L)
+
+  private def qLshDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.lshDedupClusters(t(spark, dir, "documents"), "doc_id", "text",
+      k = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
 
   private def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Similarity.lshNearPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -478,6 +482,160 @@ object SparkEntry {
     val media = graft.mm.Multimodal.synthesizeMedia(t(spark, dir, "documents"), "doc_id", "text")
     graft.mm.Multimodal.extractMeta(media).toDF()
   }
+
+  // ---- portable-hash oracle builders ---------------------------------------
+  // The dedup/ANN operators hash with md5 + affine mixing mod 2^31-1 and
+  // fold floating-point reductions in a fixed order with a 0.0 init, so
+  // every step is replicable bit-for-bit in DuckDB. These builders inline
+  // the SAME Scala-generated constants (hash params, hyperplane weights)
+  // into the SQL that graft.dedup.Dedup / graft.ann.Similarity inline into
+  // the Spark plans — one source of truth, two engines.
+
+  /** Cosine exactly as Similarity.cosine folds it: ordered products with a
+    * 0.0 init (list_prepend emulates Spark's aggregate zero). */
+  private def cosSql(a: String, b: String): String = {
+    def sum(terms: String) = s"list_reduce([0.0::DOUBLE] || $terms, (x, y) -> x + y)"
+    sum(s"[$a[i+1] * $b[i+1] FOR i IN range(len($a))]") +
+      s" / (sqrt(${sum(s"[$a[i+1] * $a[i+1] FOR i IN range(len($a))]")})" +
+      s" * sqrt(${sum(s"[$b[i+1] * $b[i+1] FOR i IN range(len($b))]")}))"
+  }
+
+  private def toksSql(k: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id, list_distinct([array_to_string(tk[i:i+${k - 1}], ' ')
+       |    FOR i IN range(1, greatest(len(tk) - ${k - 1}, 0) + 1)]) AS s
+       |  FROM toks WHERE len(tk) >= $k)""".stripMargin
+
+  private def minhashCandSql(k: Int, bands: Int, rowsPerBand: Int, maxBucket: Int): String = {
+    val params = graft.dedup.Dedup.hashParams(bands * rowsPerBand)
+    val sigList = params.map { case (a, c) =>
+      s"list_min(list_transform(h, x -> ($a * x + $c) % 2147483647))"
+    }.mkString("[", ",\n    ", "]")
+    val bucketList = (0 until bands).map { b =>
+      s"md5(array_to_string(sg[${b * rowsPerBand + 1}:${(b + 1) * rowsPerBand}], ','))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH ${toksSql(k)},
+       |hv AS (SELECT id,
+       |  list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS h
+       |  FROM sh),
+       |sig AS (SELECT id, $sigList AS sg FROM hv),
+       |banded AS (SELECT id, unnest(range($bands)) AS band, unnest($bucketList) AS bucket FROM sig),
+       |ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |ex AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket))
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |FROM ex a JOIN ex b USING (band, bucket) WHERE a.id < b.id""".stripMargin
+  }
+
+  private def simhashCandSql(maxHamming: Int, maxBucket: Int): String = {
+    def blockExpr(b: Int): String = (0 until 16).map { j =>
+      val g = b * 16 + j
+      val src = if (g < 32) "lo" else "hi"
+      s"(CASE WHEN 2 * len(list_filter(h, x -> ((x.$src >> ${g % 32}) & 1) = 1)) > len(h) THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " +\n    ", ")::BIGINT")
+    val blockList = (0 until 4).map(blockExpr).mkString("[", ",\n  ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+       |  FROM documents),
+       |th AS (SELECT id, list_transform(tk, t ->
+       |  {'hi': ('0x' || substr(md5(t), 1, 8))::BIGINT,
+       |   'lo': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS h FROM toks),
+       |blocks AS (SELECT id, $blockList AS blocks FROM th),
+       |banded AS (SELECT id, blocks, unnest(range(4)) AS block, unnest(blocks) AS block_val FROM blocks),
+       |ok AS (SELECT block, block_val FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |ex AS (SELECT banded.* FROM banded JOIN ok USING (block, block_val)),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    bit_count(xor(a.blocks[1], b.blocks[1]))::BIGINT + bit_count(xor(a.blocks[2], b.blocks[2]))::BIGINT +
+       |    bit_count(xor(a.blocks[3], b.blocks[3]))::BIGINT + bit_count(xor(a.blocks[4], b.blocks[4]))::BIGINT AS hamming
+       |  FROM ex a JOIN ex b USING (block, block_val) WHERE a.id < b.id)
+       |SELECT DISTINCT id_a, id_b, hamming FROM pr WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  private val oEmbedNearDup =
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.v", "b.v")} AS cosine
+       |      FROM v a, v b WHERE a.id < b.id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine > 0.32""".stripMargin
+
+  private val oAnnTopK =
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT id, v FROM v WHERE id < 10),
+       |sc AS (SELECT q.id AS query_id, c.id AS nbr_id, ${cosSql("q.v", "c.v")} AS cosine
+       |       FROM q JOIN v c ON q.id != c.id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank FROM sc)
+       |SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= 5""".stripMargin
+
+  private def lshPairsSql(nPlanes: Int, dim: Int, threshold: Double): String = {
+    val w = graft.ann.Similarity.planeWeights(nPlanes, dim)
+    val bucketExpr = (0 until nPlanes).map { p =>
+      val wLit = w(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_reduce([0.0::DOUBLE] || [v[i+1] * ($wLit)[i+1] FOR i IN range(len(v))], (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " +\n  ", ")")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT id, v, $bucketExpr AS bucket FROM v),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b, ${cosSql("x.v", "y.v")} AS cosine
+       |      FROM b x JOIN b y USING (bucket) WHERE x.id < y.id)
+       |SELECT DISTINCT id_a, id_b, cosine FROM p WHERE cosine > $threshold""".stripMargin
+  }
+
+  /** The whole IVF chain — deterministic sampled training, seed selection,
+    * argmax assignment, id-ordered Lloyd fold, probe selection, final
+    * top-k — expressed in SQL with the same fold orders as
+    * graft.ann.Similarity, so the result is bit-identical. */
+  private def ivfSql(k: Int, nProbe: Int, topK: Int, nQueries: Int, trainCap: Long): String = {
+    val argmax = (vec: String) =>
+      s"""list_reduce(list_prepend({'cos': -2.0::DOUBLE, 'cid': (-1)::BIGINT},
+         |    list_transform(cl, ct -> {'cos': ${cosSql(vec, "ct.c")}, 'cid': ct.cid})),
+         |    (a, b) -> CASE WHEN b.cos > a.cos THEN b ELSE a END).cid""".stripMargin
+    s"""WITH v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tr AS (SELECT * FROM v WHERE id < $trainCap),
+       |par AS (SELECT greatest(1, (SELECT count(*) FROM tr) // $k) AS stride),
+       |seeds AS (SELECT id AS cid, v AS c FROM tr, par WHERE id % stride = 0 ORDER BY id LIMIT $k),
+       |c1 AS (SELECT list({'cid': cid, 'c': c} ORDER BY cid) AS cl FROM seeds),
+       |a1 AS (SELECT tr.id, tr.v, ${argmax("tr.v")} AS cid FROM tr, c1),
+       |grp AS (SELECT cid, list({'id': id, 'v': v} ORDER BY id) AS lst FROM a1 GROUP BY cid),
+       |cm AS (SELECT cid, list_transform(
+       |    list_reduce(list_prepend([0.0::DOUBLE FOR i IN range(len(lst[1].v))],
+       |      list_transform(lst, s -> s.v)),
+       |      (a, b) -> [a[i+1] + b[i+1] FOR i IN range(len(a))]),
+       |    x -> x / len(lst)::DOUBLE) AS c
+       |  FROM grp),
+       |c2 AS (SELECT list({'cid': cid, 'c': c} ORDER BY cid) AS cl FROM cm),
+       |asg AS (SELECT v.id, v.v, ${argmax("v.v")} AS cid FROM v, c2),
+       |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < $nQueries),
+       |pr AS (SELECT query_id, qv, unnest(list_transform(
+       |    list_sort(list_transform(cl, ct -> {'negcos': 0.0::DOUBLE - (${cosSql("qv", "ct.c")}), 'cid': ct.cid}))[1:$nProbe],
+       |    s -> s.cid)) AS centroid_id
+       |  FROM q, c2),
+       |sc AS (SELECT pr.query_id, asg.id AS nbr_id, ${cosSql("pr.qv", "asg.v")} AS cosine
+       |       FROM pr JOIN asg ON pr.centroid_id = asg.cid AND pr.query_id != asg.id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank FROM sc)
+       |SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= $topK""".stripMargin
+  }
+
+  /** q34 oracle: EXHAUSTIVE all-pairs Jaccard above the threshold, then
+    * connected components — deliberately NOT the LSH path. A green match
+    * proves the banded candidate generation + verify recovers exactly the
+    * clusters exhaustive comparison finds (at 16 bands x 2 rows the
+    * per-pair miss probability at j>=0.9 is (1-j^2)^16 ~ 3e-12). */
+  private val oLshDedup =
+    s"""WITH RECURSIVE ${toksSql(3)},
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sh a, sh b WHERE a.id < b.id
+       |    AND len(list_intersect(a.s, b.s)) /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE > 0.5),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -514,7 +672,8 @@ object SparkEntry {
     "q32_quality_score" -> (qQuality _),
     "q33_det_sample" -> (qSample _),
     "q28_rollup" -> (qRollup _),
-    "q29_running_sum" -> (qRunningSum _))
+    "q29_running_sum" -> (qRunningSum _),
+    "q34_lsh_dedup" -> (qLshDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -534,6 +693,13 @@ object SparkEntry {
     "q15_token_counts" -> oTokenCounts,
     "q16_fingerprint" -> oFingerprint,
     "q17_sessionize" -> oSessionize,
+    "q21_minhash_candidates" -> minhashCandSql(k = 3, bands = 8, rowsPerBand = 4, maxBucket = 10000),
+    "q22_simhash_candidates" -> simhashCandSql(maxHamming = 3, maxBucket = 10000),
+    "q23_embed_neardup" -> oEmbedNearDup,
+    "q24_ann_topk" -> oAnnTopK,
+    "q25_ann_lsh" -> lshPairsSql(nPlanes = 6, dim = 64, threshold = 0.3),
+    "q30_ann_ivf" -> ivfSql(k = 16, nProbe = 4, topK = 5, nQueries = 10, trainCap = 4096L),
+    "q34_lsh_dedup" -> oLshDedup,
     "q27_join_agg" -> oJoinAgg,
     "q28_rollup" -> oRollup,
     "q29_running_sum" -> oRunningSum,

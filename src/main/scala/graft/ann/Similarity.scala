@@ -7,14 +7,25 @@ import org.apache.spark.sql.expressions.Window
 /**
  * Similarity search over an embedding column (Array[Float]).
  *
- * Baseline: brute-force cosine top-k (exact; query side broadcast).
- * Scale path: sign-LSH (random hyperplanes derived deterministically from
- * xxhash64 — no Random, resumable) bucketing so only same-bucket pairs are
- * scored; at 10^12 rows the bucket join replaces the corpus cross-product.
+ * Baseline: brute-force cosine top-k (exact; query side broadcast, corpus
+ * side streams, per-query top-k reduced in two salted levels so no single
+ * task ever sorts a corpus-sized candidate list).
+ *
+ * Scale paths:
+ *  - sign-LSH bucketing (hyperplanes precomputed deterministically from
+ *    splitmix64 and inlined as literals — resumable, no Random, and
+ *    bit-replicable by the SQL oracle);
+ *  - IVF (inverted-file) with a faiss-style coarse quantizer: centroids
+ *    trained on a deterministic sample, collected to the driver (k x dim
+ *    doubles — the standard coarse-quantizer working set), and applied
+ *    MAP-SIDE as a literal argmax. Assignment shuffles nothing; only the
+ *    probe join moves rows, keyed by centroid.
  */
 object Similarity {
 
-  /** Cosine between two array<double> columns via codegen'd HOFs. */
+  /** Cosine between two array<double> columns via codegen'd HOFs.
+    * Fold order is the array order with a 0.0 init — the SQL oracle
+    * replicates the exact accumulation order for bit-equality. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
@@ -22,110 +33,150 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Two-level per-key top-k: candidates are first reduced to k within
+    * (key, salt) buckets — parallel across saltBuckets tasks — then the
+    * survivors (key x saltBuckets x k rows) are reduced to the global
+    * per-key top-k. Identical result to a single window (top-k of a union
+    * of bucket top-ks is the global top-k), but no corpus-sized single-key
+    * sort partition. */
+  private def saltedTopK(scored: DataFrame, keyCol: String, saltOn: String,
+                         orderBy: Seq[Column], k: Int,
+                         saltBuckets: Int = 64): DataFrame = {
+    val w1 = Window.partitionBy(col(keyCol), col("__salt")).orderBy(orderBy: _*)
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(orderBy: _*)
+    scored.withColumn("__salt", pmod(xxhash64(col(saltOn)), lit(saltBuckets)))
+      .withColumn("__r1", row_number().over(w1)).where(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long")).where(col("rank") <= k)
+      .drop("__salt", "__r1")
+  }
+
   /**
    * Brute-force top-k: for each query vector (id in [0, nQueries)), the k
    * nearest corpus vectors by cosine (excluding self), deterministic
    * tie-break on neighbor id. Query side is tiny -> broadcast; corpus side
-   * streams, final per-query top-k is a keyed window (skew-free: nQueries
-   * keys x corpus candidates).
+   * streams; the per-query reduction is salted two-level.
    */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      nQueries: Int, k: Int): DataFrame = {
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("nbr_v"))
     val queries = emb.where(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("q_v"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    corpus.crossJoin(broadcast(queries))
+    val scored = corpus.crossJoin(broadcast(queries))
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine", cosine(col("q_v"), col("nbr_v")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    saltedTopK(scored, "query_id", "nbr_id", Seq(desc("cosine"), asc("nbr_id")), k)
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * xxhash64 mapped to [-1, 1). */
-  private def planeComponent(p: Int, d: Column): Column =
-    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Sign-LSH bucket id from `nPlanes` hyperplanes (bit per plane). */
-  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vecCol, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), _ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  /**
-   * IVF (inverted-file) index: deterministic coarse quantizer — centroids
-   * are evenly-strided corpus vectors refined by one Lloyd step (means of
-   * assigned vectors, computed declaratively) — plus inverted lists keyed
-   * by nearest centroid. A query probes only the `nProbe` nearest
-   * centroids' lists, so at corpus scale the scored candidate set is
-   * ~nProbe/k of the corpus instead of all of it. Fully deterministic:
-   * no random init, ties broken by id.
-   */
-  def ivfAssignments(emb: DataFrame, idCol: String, vecCol: String,
-                     k: Int, dim: Int): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
-    val v = emb.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-    val n = v.count()
-    val stride = math.max(1L, n / k)
-    // deterministic seed centroids: every stride-th vector by id order
-    val seeds = v.where(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").limit(k)
-      .select(col("id").as("centroid_id"), col("v").as("c"))
-    def assignTo(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("id").orderBy(desc("cos"), asc("centroid_id"))
-      v.crossJoin(broadcast(cent))
-        .withColumn("cos", cosine(col("v"), col("c")))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("id"), col("v"), col("centroid_id"))
+  /** Deterministic hyperplane weights in [-1, 1): splitmix64 over the
+    * (plane, dim) index, computed ONCE in Scala and inlined as literals on
+    * both the Spark and the oracle side. */
+  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      graft.io.Transcripts.mix(0x517CC1B727220A95L + p.toLong * dim + d).toDouble /
+        Long.MaxValue.toDouble
     }
-    val first = assignTo(seeds)
-    // one Lloyd refinement: per-centroid per-dimension mean
-    val refined = first
-      .select(col("centroid_id"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy("centroid_id", "d").agg(avg("x").as("m"))
-      .groupBy("centroid_id")
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        s => s.getField("m")).as("c"))
-    val assignments = assignTo(refined)
-    (assignments, refined)
-  }
 
-  /** IVF search: per query, probe the nProbe nearest centroids' lists. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-              nQueries: Int, topK: Int, k: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (assignments, centroids) = ivfAssignments(emb, idCol, vecCol, k, dim)
-    val queries = emb.where(col(idCol) < nQueries)
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("q_v"))
-    val wc = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col("q_v"), col("c")))
-      .withColumn("crn", row_number().over(wc)).where(col("crn") <= nProbe)
-      .select("query_id", "q_v", "centroid_id")
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("id"))
-    probes.join(assignments, Seq("centroid_id"))
-      .where(col("query_id") =!= col("id"))
-      .withColumn("cosine", cosine(col("q_v"), col("v")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("id").as("nbr_id"), col("cosine"))
-  }
+  /** Sign-LSH bucket id from literal hyperplanes (bit per plane). */
+  def lshBucket(vecCol: Column, weights: Array[Array[Double]]): Column =
+    weights.zipWithIndex.map { case (w, p) =>
+      val wLit = array(w.map(lit(_)): _*)
+      val dot = aggregate(zip_with(vecCol, wLit, (x, y) => x * y), lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** LSH-bucketed near-neighbor pairs: cosine computed only within buckets. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                    nPlanes: Int = 12, threshold: Double = 0.9): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+      .withColumn("bucket", lshBucket(col("v"), planeWeights(nPlanes, dim)))
     val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine").distinct()
+  }
+
+  // ---- IVF -----------------------------------------------------------------
+
+  /** Literal array<struct<cid,c>> from driver-side centroids. */
+  private def centroidsLit(cents: Array[(Long, Array[Double])]): Column =
+    array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+
+  /** Map-side argmax assignment against literal centroids: all k cosines
+    * are computed in one projection (transform over the literal array),
+    * the best (max cosine, ties -> lowest centroid id) picked by a fold.
+    * ZERO shuffle — the round-1 formulation (crossJoin + per-id window)
+    * shuffled n x k rows to rank what a map-side fold decides. */
+  private def nearestCentroid(vecCol: Column, cents: Array[(Long, Array[Double])]): Column = {
+    val scored = transform(centroidsLit(cents),
+      ct => struct(cosine(vecCol, ct.getField("c")).as("cos"), ct.getField("cid").as("cid")))
+    aggregate(scored, struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+      (acc, s) => when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
+      .getField("cid")
+  }
+
+  /**
+   * Deterministic coarse quantizer, faiss-style: train on a bounded
+   * deterministic sample (the lowest `trainCap` ids — at 10^12 rows you
+   * never train a coarse quantizer on the full corpus), seed centroids =
+   * every stride-th sample vector by id, one Lloyd refinement = per-
+   * centroid mean of assigned sample vectors SUMMED IN ID ORDER (sorted
+   * collect_list fold) so the result is bit-deterministic and exactly
+   * replicable by the SQL oracle. Returns driver-side centroids
+   * (k x dim doubles — the standard coarse-quantizer working set; the two
+   * driver actions here are a count and a k-row collect, not corpus data).
+   */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int, trainCap: Long = 4096L): Array[(Long, Array[Double])] = {
+    val train = emb.where(col(idCol) < trainCap)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+    val n = train.count()
+    val stride = math.max(1L, n / k)
+    val seeds = train.where(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dim = seeds.head._2.length
+    // one Lloyd step over the sample: mean of assigned vectors, id-ordered fold
+    val assigned = train.withColumn("cid", nearestCentroid(col("v"), seeds))
+    val zero = array_repeat(lit(0.0), dim)
+    val refined = assigned.groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"))
+      .select(col("cid"), transform(
+        aggregate(col("lst"), zero, (acc, s) => zip_with(acc, s.getField("v"), _ + _)),
+        x => x / size(col("lst")).cast("double")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    refined.sortBy(_._1)
+  }
+
+  /** IVF search: assign corpus map-side, probe the nProbe nearest
+    * centroids per query (picked map-side by sorting the literal centroid
+    * scores — no window), join candidates on the centroid key, salted
+    * two-level per-query top-k. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int, topK: Int, k: Int = 16, nProbe: Int = 4,
+              trainCap: Long = 4096L): DataFrame = {
+    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainCap)
+    val assignments = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("centroid_id", nearestCentroid(col("v"), cents))
+    // per-query probe list: sort struct(-cos, cid) ascending = cos desc,
+    // ties -> lowest cid; slice the first nProbe — all map-side
+    val probeScores = transform(centroidsLit(cents),
+      ct => struct((lit(0.0) - cosine(col("q_v"), ct.getField("c"))).as("negcos"),
+        ct.getField("cid").as("cid")))
+    val probes = emb.where(col(idCol) < nQueries)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("q_v"))
+      .select(col("query_id"), col("q_v"),
+        explode(transform(slice(array_sort(probeScores), 1, nProbe),
+          s => s.getField("cid"))).as("centroid_id"))
+    val scored = probes.join(assignments, Seq("centroid_id"))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("cosine", cosine(col("q_v"), col("v")))
+    saltedTopK(scored, "query_id", "id", Seq(desc("cosine"), asc("id")), topK)
+      .select(col("query_id"), col("rank"), col("id").as("nbr_id"), col("cosine"))
   }
 }

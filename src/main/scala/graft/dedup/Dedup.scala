@@ -6,20 +6,47 @@ import org.apache.spark.sql.expressions.Window
 
 /**
  * Corpus-level deduplication operators for training-data pipelines:
- * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup,
+ * and the end-to-end scale path MinHash candidates -> exact Jaccard verify
+ * -> connected-component clusters.
  *
  * Scale design (100 TB): every variant is shuffle-minimal —
  *  - exact: one hash-keyed groupBy (map-side combine);
- *  - MinHash/LSH: signatures computed map-side (deterministic polynomial
- *    hashes, no UDF state), candidates via band-bucket self-join keyed on
- *    (band, bucket) — only colliding docs shuffle, never the corpus square;
- *  - SimHash: 64-bit signature map-side, bucket-join on rotated prefixes;
- *  - n-gram Jaccard: exact verify step applied ONLY to LSH candidates
- *    (or a bounded id range for the oracle query);
- *  - embedding cosine: LSH on random-hyperplane signs, brute-force only
- *    within buckets.
+ *  - MinHash/SimHash: the whole signature is ONE codegen'd expression per
+ *    row (a single fold over the shingle/token hashes) — no cached
+ *    intermediates, no multi-pass recompute, nothing persisted;
+ *  - candidate pairs: group ids by (band, bucket) — ONE shuffle keyed on
+ *    the bucket — and emit in-bucket pairs; only colliding docs move,
+ *    never the corpus square. An explicit `maxBucket` cap bounds the
+ *    worst-case degenerate bucket (the cap is part of the operator's
+ *    semantics, mirrored by the SQL oracle, not a silent drop);
+ *  - verify: exact n-gram Jaccard joined to ONLY the candidate pairs;
+ *  - clusters: iterative min-label propagation with per-round
+ *    localCheckpoint (lineage truncation; blocks are GC-released by the
+ *    ContextCleaner once a round's labels are dereferenced).
+ *
+ * Hashing is PORTABLE by construction: every hash is derived from md5 of
+ * the shingle/token text plus affine mixing mod a Mersenne prime, so the
+ * DuckDB oracle replicates candidates bit-for-bit (see SparkEntry).
  */
 object Dedup {
+
+  /** Modulus for the affine MinHash family: the Mersenne prime 2^31-1.
+    * Keeping hashes < 2^31 means a*h + c stays < 2^62 — no 64-bit overflow
+    * on either engine (Spark ANSI mode would throw on overflow). */
+  val P: Long = 2147483647L
+
+  /** Affine family parameters (a_i in [1,P-1], c_i in [0,P-1]), derived
+    * from splitmix64 so Spark and the SQL oracle inline identical
+    * literals. Deterministic — no Random. */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = java.lang.Long.remainderUnsigned(
+        graft.io.Transcripts.mix(0x9E3779B97F4A7C15L + i), P - 1) + 1
+      val c = java.lang.Long.remainderUnsigned(
+        graft.io.Transcripts.mix(0xC2B2AE3D27D4EB4FL - i), P)
+      (a, c)
+    }
 
   /** Exact dedup on normalized text: keep the smallest doc id per hash. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -48,66 +75,89 @@ object Dedup {
     array_distinct(when(n >= k, joined).otherwise(array().cast("array<string>")))
   }
 
-  /** Deterministic 64-bit polynomial hash of a string, seeded — the SAME
-    * function everywhere (Scala + column expr via hash over concat). Uses
-    * Spark's xxhash64 (stable across versions/platforms). */
-  def shingleHash(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
+  /** Portable 60-bit hash of a string: first 15 hex chars of md5, parsed as
+    * an integer — bit-identical in any engine with md5 (DuckDB:
+    * ('0x'||substr(md5(s),1,15))::BIGINT). */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /**
-   * MinHash signatures: for each of `numHashes` seeds, min over shingle
-   * hashes — computed entirely with higher-order functions (codegen'd).
+   * MinHash signatures: sig_i = min over shingles of (a_i*h + c_i) mod P,
+   * h = md5-based 60-bit shingle hash mod P.
+   *
+   * The entire signature is ONE expression: a single fold over the shingle
+   * hashes whose accumulator is the running array of numHashes minima.
+   * Each shingle is md5-hashed exactly once (it enters the fold as the
+   * lambda-bound element — lambda VARIABLES are bound values, unlike
+   * non-lambda subexpressions which HOFs re-evaluate per element). The
+   * per-family (a,c) literals constant-fold to a single array literal.
+   * No persist/cache barrier needed, unlike a formulation that projects
+   * base hashes into a column consumed by numHashes separate expressions
+   * (CollapseProject would inline it numHashes times).
+   *
    * Output: idCol, sig: array<long> of length numHashes.
    */
-  /** Per-doc base shingle hashes, materialized behind a cache barrier:
-    * CollapseProject would otherwise inline the whole shingling pipeline
-    * into every one of the numHashes signature lambdas (numHashes x
-    * recompute). At cluster scale the equivalent barrier is writing the
-    * signature table out once (it is tiny relative to the corpus). */
-  def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), shingles(col(textCol), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col(idCol), transform(col("sh"), s => xxhash64(s)).as("base"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 32): DataFrame =
-    // each shingle STRING is hashed once; the numHashes families mix the
-    // 8-byte base hash (xxhash64 over a long) — O(8) per (shingle, family)
-    shingleHashes(df, idCol, textCol, k)
-      .select(col(idCol), transform(sequence(lit(0), lit(numHashes - 1)),
-        seed => array_min(transform(col("base"), h => xxhash64(seed, h)))).as("sig"))
-
-  /**
-   * MinHash-LSH candidate pairs: band the signature (`bands` x `rowsPerBand`),
-   * bucket-join on (band, hash(band rows)), emit distinct (a < b) pairs.
-   */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
-    val banded = sigs.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as(Seq("band", "bucket")))
-      // both sides of the self-join read this — persist so the signature
-      // computation (the expensive part) runs once, not twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+                        k: Int = 3, numHashes: Int = 32): DataFrame = {
+    val params = hashParams(numHashes)
+    val paramsLit = array(params.map { case (a, c) =>
+      struct(lit(a).as("a"), lit(c).as("c")) }: _*)
+    val base = transform(shingles(col(textCol), k), s => pmod(md5Hash60(s), lit(P)))
+    val sig = aggregate(base, array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(acc, paramsLit,
+        (m, pr) => least(m, pmod(pr.getField("a") * h + pr.getField("c"), lit(P)))))
+    df.where(size(tokens(col(textCol))) >= k) // == "has at least one shingle"
+      .select(col(idCol), sig.as("sig"))
   }
 
-  /** Exact n-gram Jaccard similarity for given pairs (verify step), or for
-    * a bounded id cross-product when `pairs` is None (oracle query). */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
-                   maxId: Long = 100L, threshold: Double = 0.2): DataFrame = {
-    val sh = df.where(col(idCol) < maxId)
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+  /** Per-band bucket keys: md5 of the band's comma-joined signature rows. */
+  def minhashBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(",", transform(
+        slice(sigCol, b * rowsPerBand + 1, rowsPerBand), x => x.cast("string"))))
+    }: _*)
+
+  /** In-bucket (a < b) pairs from a (id, band, bucket) table: ONE shuffle
+    * (groupBy the bucket key), sorted in-bucket ids, nested-loop pair
+    * emission, distinct across bands. Buckets larger than `maxBucket` are
+    * excluded — the explicit skew guard; at LSH-sensible parameters a
+    * bucket that large is a degenerate collision class, not a near-dup
+    * set. */
+  private def pairsWithinBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: band the signature (`bands` x
+   * `rowsPerBand`), group on (band, bucket), emit distinct (a < b) pairs.
+   */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = 10000): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand)
+    val banded = sigs.select(col(idCol).as("id"),
+      posexplode(minhashBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    pairsWithinBuckets(banded, maxBucket)
+  }
+
+  /** Exact n-gram Jaccard verify over given candidate pairs (the scale
+    * path's second stage: candidates come from [[minhashCandidates]]).
+    * Pairs must have columns (id_a, id_b); shingle sets are joined in —
+    * two id-keyed shuffles of the (small) pair table against the corpus
+    * shingles, never an all-pairs product. */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("vid"), shingles(col(textCol), k).as("vsh"))
+    pairs.select("id_a", "id_b")
+      .join(sh.select(col("vid").as("id_a"), col("vsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("vid").as("id_b"), col("vsh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))).cast("long"))
@@ -116,40 +166,84 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
-  /** SimHash 64-bit signature: sign-sum of per-token hashes, bit by bit —
-    * pure column expressions. Token hashes are materialized behind a cache
-    * barrier first; otherwise the 64 per-bit aggregates would each re-run
-    * tokenization + string hashing (64x recompute via CollapseProject). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df
-      .select(col(idCol), transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = (0 until 64).map { bit =>
-      // sum over tokens of +1/-1 for this bit, then take the sign bit
-      val bitSum = aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    hashed.select(col(idCol), sig.as("simhash"))
+  /** Exact n-gram Jaccard over a bounded id range (the all-pairs oracle
+    * shape) — [[jaccardVerify]] fed with the bounded cross-product. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                   maxId: Long = 100L, threshold: Double = 0.2): DataFrame = {
+    val bounded = df.where(col(idCol) < maxId)
+    val ids = bounded.select(col(idCol).as("id"))
+    val pairs = ids.select(col("id").as("id_a"))
+      .crossJoin(ids.select(col("id").as("id_b")))
+      .where(col("id_a") < col("id_b"))
+    jaccardVerify(bounded, pairs, idCol, textCol, k, threshold)
   }
 
-  /** Hamming-near pairs via 4x16-bit block bucketing (any pair within
-    * hamming distance 3 shares at least one exact block). */
+  /** End-to-end scale dedup: MinHash-LSH candidates -> exact Jaccard
+    * verify -> connected-component clusters. At LSH parameters sized for
+    * the threshold (e.g. 16 bands x 2 rows for j >= 0.5: per-pair miss
+    * probability (1-j^2)^bands ~ 1e-12 at j=0.9) this recovers the same
+    * clusters as exhaustive all-pairs comparison — which is exactly what
+    * its oracle asserts. */
+  def lshDedupClusters(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+                       threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands, rowsPerBand)
+    val verified = jaccardVerify(df, cands, idCol, textCol, k, threshold)
+    dedupClusters(verified.select("id_a", "id_b"))
+  }
+
+  /**
+   * SimHash signature as 4 x 16-bit blocks (array<long>, values in
+   * [0, 0xFFFF]): bit g of the 64-bit signature is set when the sign-sum
+   * over tokens of bit g of the token hash is positive. Token hashes are
+   * the two 32-bit halves of md5 (portable). Blocks rather than one i64
+   * because the SQL oracle cannot shift into the sign bit (DuckDB raises
+   * on << overflow); the block split is also exactly what the candidate
+   * join keys on.
+   *
+   * Single-expression design: one fold over the token-hash array carrying
+   * all 64 bit-sums, thresholded in the aggregate's finish lambda — no
+   * cached intermediate, no 64x recompute (see [[minhashSignatures]]).
+   */
+  def simhashBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = transform(tokens(col(textCol)), t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("lo")))
+    // per-bit descriptor: which half holds global bit g, and its mask
+    val bitsLit = array((0 until 64).map { g =>
+      struct(lit(g < 32).as("lo"), lit(1L << (g % 32)).as("mask"))
+    }: _*)
+    val masks16 = array((0 until 16).map(j => lit(1L << j)): _*)
+    val blocks = aggregate(th, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitsLit, (a, pr) =>
+        a + when(when(pr.getField("lo"), h.getField("lo")).otherwise(h.getField("hi"))
+          .bitwiseAND(pr.getField("mask")) =!= 0L, 1L).otherwise(-1L)),
+      acc => transform(sequence(lit(0), lit(3)), b =>
+        aggregate(zip_with(slice(acc, b * 16 + lit(1), lit(16)), masks16,
+          (s, m) => when(s > 0, m).otherwise(lit(0L))), lit(0L), _ + _)))
+    df.select(col(idCol), blocks.as("blocks"))
+  }
+
+  /** Hamming-near pairs via the 4x16-bit block pigeonhole (any pair within
+    * hamming distance 3 shares at least one exact block). Same
+    * group-by-bucket single-shuffle pairing as MinHash. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
-    val blocks = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("block", "block_val")))
-    val a = blocks.select(col("block"), col("block_val"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = blocks.select(col("block"), col("block_val"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("block", "block_val")).where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+                        maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val sigs = simhashBlocks(df, idCol, textCol)
+    val banded = sigs.select(col(idCol).as("id"), col("blocks"),
+      posexplode(col("blocks")).as(Seq("block", "block_val")))
+    val grouped = banded.groupBy("block", "block_val")
+      .agg(sort_array(collect_list(struct(col("id"), col("blocks")))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+    grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            aggregate(zip_with(x.getField("blocks"), y.getField("blocks"),
+              (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")), lit(0L), _ + _)
+              .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .distinct()
   }
 
   /** Embedding cosine near-duplicates over a bounded id range (brute-force
@@ -161,32 +255,33 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
-    val dot = aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(col("v_a"), x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(col("v_b"), x => x * x), lit(0.0), _ + _))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine", graft.ann.Similarity.cosine(col("v_a"), col("v_b")))
       .where(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")
   }
 
   /**
    * Near-duplicate clusters: connected components over candidate pairs,
-   * labeled by the component's minimum id. Iterative min-label propagation
-   * (large-star style): converges in O(log diameter) rounds; the driver
-   * loop checks a change count per round, which at corpus scale would be a
-   * fixed iteration budget + convergence metric instead. Deterministic.
+   * labeled by the component's minimum id. Iterative neighbor min-label
+   * propagation — O(diameter) rounds (each round a label moves one hop).
+   * Every round's labels are localCheckpoint'ed: lineage is truncated so
+   * the plan does not grow with rounds, and superseded rounds' blocks are
+   * released by the ContextCleaner once dereferenced. The driver-side
+   * `count` per round is the convergence check; `maxRounds` bounds the
+   * loop, and hitting the cap with labels still changing logs a warning
+   * (components wider than maxRounds hops would be mislabeled).
    */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), Seq("v"))
         .groupBy("u").agg(min(col("vlabel")).as("nbr_label"))
@@ -194,12 +289,16 @@ object Dedup {
         .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") < col("old")).count()
       labels = next
       rounds += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dedupClusters hit the $maxRounds-round cap with labels still changing; " +
+          "components wider than the cap are mislabeled — raise maxRounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -177,14 +177,14 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = graft.ann.Similarity.bruteForceTopK(vecs, "vec_id", "embedding", nQueries = 4, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // probing ALL centroids must recover the exact brute-force result
-    val full = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 8,
+    val full = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding",
       nQueries = 4, topK = 3, k = 4, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(full == brute)
     // partial probing returns topK per query deterministically
-    val part1 = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 8,
+    val part1 = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding",
       nQueries = 4, topK = 3, k = 4, nProbe = 1).collect().map(_.toString).sorted
-    val part2 = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 8,
+    val part2 = graft.ann.Similarity.ivfTopK(vecs, "vec_id", "embedding",
       nQueries = 4, topK = 3, k = 4, nProbe = 1).collect().map(_.toString).sorted
     assert(part1.sameElements(part2))
   }
