@@ -60,6 +60,18 @@ object Engine {
 
     val best = selectBest(results)
 
+    // A7 — grand totals over non-error parsers (universal_parser.py:277-281).
+    // Error parsers report all-zero stats, and x + 0.0 == x bitwise for the
+    // non-negative partial sums here, so summing all seven stats in parser
+    // order reproduces Python's skip-the-error-dicts float accumulation.
+    val stats = results.map(r => ParserStat(r.parser, r.count, statTotal(r), r.avgConfidence))
+    val grandCount = stats.iterator.map(_.count).sum
+    val grandCost = stats.iterator.map(_.total_cost).foldLeft(0.0)(_ + _)
+    val nValidParsers = stats.count(_.count > 0)
+    val grandConf =
+      if (nValidParsers > 0) stats.iterator.map(_.avg_confidence).foldLeft(0.0)(_ + _) / nValidParsers
+      else 0.0
+
     val lowerText = Py.lower(t)
     val docType = detectDocumentTypeLower(lowerText)
     val (invS, comS, cmpS, conS) = documentTypeScoresLower(lowerText)
@@ -82,11 +94,14 @@ object Engine {
       best_total_cost = best.totalCost,
       best_avg_confidence = best.avgConf,
       supplier_id = profileRes.flatMap(r => Option(r.supplierId)).getOrElse(""),
-      parser_stats = results.map(r => ParserStat(r.parser, r.count, statTotal(r), r.avgConfidence)),
+      parser_stats = stats,
       best_items = best.items,
       extracted_text = Segmentation.assembleFromBlocks(seg.blocks),
       blocks = seg.blocks,
-      recommendations = recommendations(docType))
+      recommendations = recommendations(docType),
+      grand_total_count = grandCount,
+      grand_total_cost = grandCost,
+      grand_avg_confidence = grandConf)
   }
 
   /** A6 — recommendations (universal_parser.py:850-893). The reference's

@@ -30,7 +30,7 @@ object Transcripts {
   def rngInt(seed: Long, id: Long, slot: Long, bound: Int): Int =
     (Math.floorMod(rng(seed, id, slot), bound.toLong)).toInt
 
-  private val products = Array(
+  val products: Array[String] = Array(
     "Кабель силовой ВВГнг 3х2,5", "Кабель силовой ВВГ 4х16", "СИП-4 4х25",
     "Провод ПуГВ 1х6", "Кабель КГ 3х1,5", "СИП-2 3х70+1х54,6",
     "Перевозка до склада заказчика", "Кабель ППГнг 5х10", "Провод СИП-3 1х50",

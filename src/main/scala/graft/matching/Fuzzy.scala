@@ -11,12 +11,21 @@ package graft.matching
  */
 object Fuzzy {
 
+  /** Python/rapidfuzz alphanumeric class: str.isalnum() = letters + ALL
+    * Unicode numerics incl. Nl/No (e.g. '²'), wider than Java's
+    * isLetterOrDigit (round-2 differential caught the gap on 'м²'). */
+  private def isPyAlnum(c: Char): Boolean = {
+    val t = Character.getType(c)
+    Character.isLetter(c) || Character.isDigit(c) ||
+      t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER
+  }
+
   /** default_process: lowercase, non-alphanumeric -> space, trim. */
   def process(s: String): String = {
     if (s == null) return ""
     val sb = new StringBuilder(s.length)
     s.foreach { c =>
-      if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
+      if (isPyAlnum(c)) sb.append(Character.toLowerCase(c))
       else sb.append(' ')
     }
     sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
@@ -92,9 +101,12 @@ object Fuzzy {
   }
 
   def partialTokenSetRatio(a: String, b: String): Double = {
-    val (inter, _, _) = tokenSetParts(a, b)
+    val (inter, combA, combB) = tokenSetParts(a, b)
     if (inter.nonEmpty) return 100.0
-    partialRatio(sortedTokens(a).mkString(" "), sortedTokens(b).mkString(" "))
+    // empty intersection -> compare the DEDUPLICATED sorted diff strings
+    // (the token_set family is set-based; round-2 differential vs the
+    // published spec caught the duplicate-keeping variant scoring 6.75 high)
+    partialRatio(combA, combB)
   }
 
   /** WRatio (fuzzywuzzy/rapidfuzz weighted composite). Inputs are

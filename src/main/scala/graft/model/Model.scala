@@ -73,4 +73,10 @@ final case class TurnResult(
     best_items: Seq[Item],
     extracted_text: String,
     blocks: Seq[String],
-    recommendations: Seq[String])
+    recommendations: Seq[String],
+    // A7 grand totals across ALL non-error parsers (universal_parser.py:
+    // 277-281): computed there into locals and then shadowed by the best-
+    // parser fields — materialized here as first-class envelope columns.
+    grand_total_count: Int,
+    grand_total_cost: Double,
+    grand_avg_confidence: Double)

@@ -107,6 +107,9 @@ object ParityDump {
         s""""envelope":{"best_parser":${jstr(if (tr.best_parser.isEmpty) null else tr.best_parser)},""" +
         s""""best_count":${tr.best_count},"best_total_cost":${tr.best_total_cost},""" +
         s""""doc_type":${jstr(tr.doc_type)},""" +
+        s""""grand_total_count":${tr.grand_total_count},""" +
+        s""""grand_total_cost":${tr.grand_total_cost},""" +
+        s""""grand_avg_confidence":${tr.grand_avg_confidence},""" +
         s""""best_items":[${tr.best_items.map(jitem).mkString(",")}]}"""
       sb.append(s"""{"id":$i,"text":${jstr(text)},"tables":$tablesJson,$envelope,""")
       sb.append(parsers.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(","))

@@ -76,11 +76,24 @@ def check_envelope(rec, dfs):
     if env is None:
         return True, None
     res = up.parse_document(rec["text"], dfs)
+    # A7 grand totals (universal_parser.py:277-281): computed there into
+    # locals and discarded — recompute identically from the returned dict
+    # (the post-281 assignments add no dict values, so the generator sees
+    # the same seven parser dicts in the same order).
+    dvals = [r for r in res.values() if isinstance(r, dict) and 'error' not in r]
+    gt_count = sum(r.get('count', 0) for r in dvals)
+    gt_cost = sum(r.get('total_cost', 0) for r in dvals)
+    tconf = sum(r.get('avg_confidence', 0) for r in dvals)
+    valid = [r for r in dvals if r.get('count', 0) > 0]
+    gt_conf = tconf / len(valid) if valid else 0
     ref_env = {
         "best_parser": res["best_parser"],
         "best_count": res["count"],
         "best_total_cost": round(res["total_cost"], 6),
         "doc_type": res["document_type"],
+        "grand_total_count": gt_count,
+        "grand_total_cost": round(gt_cost, 6),
+        "grand_avg_confidence": round(gt_conf, 9),
         "best_items": norm(res["best_items"]),
     }
     mine = {
@@ -88,6 +101,9 @@ def check_envelope(rec, dfs):
         "best_count": env["best_count"],
         "best_total_cost": round(env["best_total_cost"], 6),
         "doc_type": env["doc_type"],
+        "grand_total_count": env.get("grand_total_count"),
+        "grand_total_cost": round(env.get("grand_total_cost", 0), 6),
+        "grand_avg_confidence": round(env.get("grand_avg_confidence", 0), 9),
         "best_items": norm(env["best_items"]),
     }
     return mine == ref_env, (mine, ref_env)
