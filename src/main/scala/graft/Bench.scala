@@ -123,6 +123,20 @@ object Bench {
       "q19_extract_items", "q21_minhash_candidates", "q22_simhash_candidates",
       "q24_ann_topk", "q26_multimodal_meta")
     val all = SparkEntry.queries
+    // warmup: run every benched query once against the smallest sf dir —
+    // same plans, so codegen + JIT are hot and first-query JVM warmup is
+    // not billed to whichever query runs first (round-1 bench billed ~7s
+    // of warmup to q02)
+    val warmDir = {
+      val small = sfDir.replaceAll("sf[0-9.]+", "sf0.001")
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    benchQueries.foreach { name =>
+      all.get(name).foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     val results = benchQueries.flatMap { name =>
       all.get(name).map { fn =>
         val sec = try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())

@@ -75,7 +75,9 @@ object Manifests {
         val obs = Observation(s"chunk-$k")
         val observed = salted.observe(obs,
           count(lit(1)).as("rows"),
-          coalesce(sum(length(col("extracted_text"))), lit(0L)).as("bytes"),
+          // octet_length of the UTF-8 encoding: actual bytes, not chars
+          // (a mostly-Cyrillic corpus is ~2 bytes/char in UTF-8)
+          coalesce(sum(octet_length(encode(col("extracted_text"), "UTF-8"))), lit(0L)).as("bytes"),
           // bit_xor: order-independent content hash, no ANSI overflow
           coalesce(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
             .as("checksum"))

@@ -47,4 +47,29 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/documents")
     itemsFlat.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/items")
   }
+
+  /** S11 — import_sessions table (models.py:96-110): one row per pipeline
+    * run, the session bookkeeping the reference writes on every export.
+    * Column contract: id, user, timestamp, template_used, excel_file_path,
+    * backup_file_path. */
+  def writeImportSessions(sessions: DataFrame, baseDir: String,
+                          mode: SaveMode = SaveMode.Append): Unit =
+    sessions.select(
+      col("id").cast("long"), col("user").cast("string"),
+      col("timestamp").cast("timestamp"), col("template_used").cast("string"),
+      col("excel_file_path").cast("string"), col("backup_file_path").cast("string"))
+      .write.mode(mode).parquet(s"$baseDir/import_sessions")
+
+  /** S11 — user_actions audit trail (models.py:112-128): accept / reject /
+    * edit / export actions keyed to an item and an import session (both
+    * nullable FKs, as in the reference schema). Column contract: id,
+    * item_id, import_session_id, action, user, timestamp, note. */
+  def writeUserActions(actions: DataFrame, baseDir: String,
+                       mode: SaveMode = SaveMode.Append): Unit =
+    actions.select(
+      col("id").cast("long"), col("item_id").cast("string"),
+      col("import_session_id").cast("long"), col("action").cast("string"),
+      col("user").cast("string"), col("timestamp").cast("timestamp"),
+      col("note").cast("string"))
+      .write.mode(mode).parquet(s"$baseDir/user_actions")
 }

@@ -61,4 +61,37 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     val orphans = its.join(docs, Seq("conv_id", "turn_idx"), "left_anti").count()
     assert(orphans == 0L)
   }
+
+  test("import_sessions and user_actions keep the models.py column contracts with FK lineage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-sinks4").toString
+    val turns = graft.io.Transcripts.generateDF(spark, 100L)
+    val items = Pipeline.extractItems(turns)
+      .withColumn("item_id", concat_ws("#", col("conv_id"), col("turn_idx"), col("item_idx")))
+    val ts = java.sql.Timestamp.valueOf("2026-01-15 10:00:00")
+    val sessions = Seq((1L, "operator", ts, "template_v2.xlsx", "/exports/out.xlsx", "/backups/out.bak"))
+      .toDF("id", "user", "timestamp", "template_used", "excel_file_path", "backup_file_path")
+    graft.io.Sinks.writeImportSessions(sessions, base, org.apache.spark.sql.SaveMode.Overwrite)
+    val actions = items.limit(5).select(col("item_id"))
+      .withColumn("id", monotonically_increasing_id())
+      .withColumn("import_session_id", lit(1L))
+      .withColumn("action", lit("accept"))
+      .withColumn("user", lit("operator"))
+      .withColumn("timestamp", lit(ts))
+      .withColumn("note", lit(null).cast("string"))
+    graft.io.Sinks.writeUserActions(actions, base, org.apache.spark.sql.SaveMode.Overwrite)
+    val s = spark.read.parquet(s"$base/import_sessions")
+    assert(s.columns.toSeq == Seq("id", "user", "timestamp", "template_used",
+      "excel_file_path", "backup_file_path"))
+    val a = spark.read.parquet(s"$base/user_actions")
+    assert(a.columns.toSeq == Seq("id", "item_id", "import_session_id", "action",
+      "user", "timestamp", "note"))
+    assert(a.count() == 5)
+    // FK join-back: every action's item_id resolves to an extracted item,
+    // and every import_session_id resolves to a session row
+    assert(a.join(items, Seq("item_id"), "left_anti").count() == 0L)
+    assert(a.join(s.withColumnRenamed("id", "import_session_id"),
+      Seq("import_session_id"), "left_anti").count() == 0L)
+  }
 }
