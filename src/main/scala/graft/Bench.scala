@@ -28,7 +28,8 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  final case class PinnedResult(bestSec: Double, ceilingOps: Double, ceilingSmallOps: Double)
+  final case class PinnedResult(bestSec: Double, ceilingOps: Double, ceilingSmallOps: Double,
+                                engineOps: Double, engineSmallOps: Double)
 
   /** Run [[ScalingRunner]] in a child JVM pinned to `cpus` CPUs (taskset):
     * the honest N-core-executor emulation — see ScalingRunner scaladoc.
@@ -64,11 +65,11 @@ object Bench {
     proc.waitFor()
     val best = "best_sec=([0-9.]+)".r.findFirstMatchIn(out).map(_.group(1).toDouble)
       .getOrElse(throw new RuntimeException(s"scaling child failed:\n${out.takeRight(2000)}"))
-    val ceilSm = "CEILING_SMALL cpus=\\d+ ops_per_sec=([0-9.]+)".r
-      .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
-    val ceiling = "CEILING_RESULT cpus=\\d+ ops_per_sec=([0-9.]+)".r
-      .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
-    PinnedResult(best, ceiling, ceilSm)
+    def grab(tag: String): Double =
+      (tag + " cpus=\\d+ ops_per_sec=([0-9.]+)").r
+        .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
+    PinnedResult(best, grab("CEILING_RESULT"), grab("CEILING_SMALL"),
+      grab("ENGINE_RESULT"), grab("ENGINE_SMALL"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -110,8 +111,17 @@ object Bench {
       if (ceilSmallOps > 0 && ceilBig > 0)
         math.min(1.0, ceilBig / (ceilSmallOps * factor))
       else 1.0
+    // the REPRESENTATIVE ceiling: the identical per-turn engine in plain
+    // threads (no Spark) measured back-to-back in the big pinned JVM —
+    // the box's physical thread-scaling for this exact computation
+    val engSmallOps = rounds.map(_._2.engineSmallOps).max
+    val engBig = rounds.map(_._2.engineOps).max
+    val engineEff =
+      if (engSmallOps > 0 && engBig > 0)
+        math.min(1.0, engBig / (engSmallOps * factor))
+      else ceilingEff
     // cap at 1.0: on noisy runs the extraction can out-scale the microbench
-    val normalizedEff = math.min(1.0, efficiency / ceilingEff)
+    val normalizedEff = math.min(1.0, efficiency / engineEff)
 
     val spark = session(cpus)
 
@@ -152,6 +162,7 @@ object Bench {
       f""""turns_per_sec_small":$thrSmall%.1f,"turns_per_sec_big":$thrBig%.1f,""" +
       f""""efficiency":$efficiency%.3f,""" +
       f""""machine_ceiling_efficiency":$ceilingEff%.3f,""" +
+      f""""engine_thread_efficiency":$engineEff%.3f,""" +
       f""""efficiency_vs_ceiling":$normalizedEff%.3f}"""
     val totalS = f"$total%.3f"
     val thrS = f"$thrBig%.1f"

@@ -50,17 +50,56 @@ object ScalingRunner {
     threads * workPer / best
   }
 
+  /** REPRESENTATIVE ceiling: the exact per-turn engine (all 7 parsers) in
+    * plain threads — no Spark, no scan, no row conversion. Thread-scaling
+    * of this loop IS this box's physical ceiling for the actual workload
+    * (allocation rate + memory bandwidth shared across one socket); the
+    * Spark job cannot scale better than the computation it distributes.
+    * On a real N->4N-node cluster those resources multiply with nodes. */
+  def engineOpsPerSec(threads: Int): Double = {
+    val texts = (0L until 2000L).map(id => graft.io.Transcripts.payload(42L, id)).toArray
+    val perThread = 8000L
+    def run(n: Long): Unit = {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var acc = 0L
+          var i = 0L
+          while (i < n) {
+            val r = graft.core.Engine.parseTurn("c", t, texts(((i + t) % texts.length).toInt))
+            acc += r.best_count
+            i += 1
+          }
+          if (acc == Long.MinValue) println(acc) // keep acc alive
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    run(perThread / 4) // warmup
+    var best = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      run(perThread)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < best) best = dt
+    }
+    threads * perThread / best
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val n = args(1).toLong
     val reps = if (args.length > 2) args(2).toInt else 4
-    // optional 4th arg: also measure the ceiling at this smaller thread
+    // optional 4th arg: also measure the ceilings at this smaller thread
     // count INSIDE this same (big) JVM — back-to-back, same warm JIT, same
     // hardware slice; far less variance than comparing two JVMs
     val ceilSmall = if (args.length > 3) args(3).toInt else 0
-    if (ceilSmall > 0)
+    if (ceilSmall > 0) {
       println(f"CEILING_SMALL cpus=$ceilSmall ops_per_sec=${ceilingOpsPerSec(ceilSmall)}%.0f")
+      println(f"ENGINE_SMALL cpus=$ceilSmall ops_per_sec=${engineOpsPerSec(ceilSmall)}%.0f")
+    }
     println(f"CEILING_RESULT cpus=$cpus ops_per_sec=${ceilingOpsPerSec(cpus)}%.0f")
+    if (ceilSmall > 0)
+      println(f"ENGINE_RESULT cpus=$cpus ops_per_sec=${engineOpsPerSec(cpus)}%.0f")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -136,7 +136,7 @@ object CommercialParser {
 
   private def parseLine(line: String): Option[Item] = {
     Patterns.commercialPatterns.iterator.flatMap { p =>
-      val m = p.matcher(line)
+      val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
         var name = m.group("name").pyStrip
@@ -156,7 +156,7 @@ object CommercialParser {
     * (commercial_parser.py:395-405). */
   def cleanName(name: String): String = {
     val n = Py.cleanName(name)
-    Patterns.commercialTechPrefix.matcher(n).replaceFirst("")
+    Patterns.cachedMatcher(Patterns.commercialTechPrefix, n).replaceFirst("")
   }
 
   def validate(it: Item): Boolean =

@@ -208,7 +208,7 @@ object CompetitiveParser {
 
   private def parseLine(line: String): Option[Item] = {
     Patterns.competitivePatterns.iterator.flatMap { p =>
-      val m = p.matcher(line)
+      val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
         var name = m.group("name").pyStrip
@@ -225,7 +225,7 @@ object CompetitiveParser {
         name = Py.pySplit(name).mkString(" ") // ' '.join(name.split())
         if (unit.nonEmpty) {
           unit = unit.pyStrip
-          unit = Patterns.unitCleanup.matcher(unit).replaceAll("")
+          unit = Patterns.cachedMatcher(Patterns.unitCleanup, unit).replaceAll("")
         }
         val it = Item(name, "", qty, unit, price, currency, total, "", "regex_match", 0.85)
         if (validate(it)) Some(it) else None

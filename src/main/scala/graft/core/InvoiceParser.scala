@@ -122,7 +122,7 @@ object InvoiceParser {
 
   private def parseLine(line: String): Option[Item] = {
     Patterns.invoicePatterns.iterator.flatMap { p =>
-      val m = p.matcher(line)
+      val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
         val article = Option(m.group("article")).getOrElse("")

@@ -59,7 +59,7 @@ object Num {
   def parse(raw: String): Option[Double] = {
     if (raw == null) return None
     var s = Py.pyStrip(raw)
-    s = nonNumeric.matcher(s).replaceAll("")
+    s = Patterns.cachedMatcher(nonNumeric, s).replaceAll("")
     val hasComma = s.indexOf(',') >= 0
     val hasDot = s.indexOf('.') >= 0
     if (hasComma && hasDot) {

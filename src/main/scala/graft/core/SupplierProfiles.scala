@@ -59,7 +59,7 @@ object SupplierProfiles {
     else if (lower.contains("старт")) Some("start")
     else {
       Patterns.innPatterns.iterator.flatMap { p =>
-        val m = p.matcher(lower)
+        val m = Patterns.cachedMatcher(p, lower)
         if (m.find()) {
           val inn = m.group(1)
           profiles.find(pr => pr.inn != null && inn.contains(pr.inn)).map(_.id)

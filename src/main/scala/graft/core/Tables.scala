@@ -49,12 +49,25 @@ object Py {
   }
 
   /** Python str.split() (no argument): split on runs of str-whitespace,
-    * no empty tokens. */
-  def pySplit(s: String): Array[String] =
-    wsRun.split(pyStrip(s), -1) match {
-      case arr if arr.length == 1 && arr(0).isEmpty => Array.empty
-      case arr => arr
+    * no empty tokens. Hand-rolled over a cached matcher — Pattern.split
+    * allocates a fresh Matcher plus an ArrayList per call; after pyStrip
+    * no separator run can touch either end, so every piece is nonempty. */
+  def pySplit(s: String): Array[String] = {
+    val t = pyStrip(s)
+    if (t.isEmpty) return Array.empty
+    val m = Patterns.cachedMatcher(wsRun, t)
+    if (!m.find()) return Array(t)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var more = true
+    while (more) {
+      out += t.substring(start, m.start)
+      start = m.end()
+      more = m.find()
     }
+    out += t.substring(start)
+    out.toArray
+  }
 
   implicit final class PyStringOps(private val s: String) extends AnyVal {
     def pyStrip: String = Py.pyStrip(s)
@@ -71,8 +84,8 @@ object Py {
 
   /** `_clean_name` (invoice_parser.py:413-420): \s+ -> ' ', \n+ -> ' ', strip. */
   def cleanName(name: String): String = {
-    var n = wsRun.matcher(name).replaceAll(" ")
-    n = nlRun.matcher(n).replaceAll(" ")
+    var n = Patterns.cachedMatcher(wsRun, name).replaceAll(" ")
+    n = Patterns.cachedMatcher(nlRun, n).replaceAll(" ")
     pyStrip(n)
   }
 
@@ -80,7 +93,7 @@ object Py {
     * (universal_parser.py:478-479): lower, [^\w\s] -> ' ', collapse spaces. */
   def cleanColName(col: String): String = {
     var s = pyStrip(lower(col))
-    s = nonWordSpace.matcher(s).replaceAll(" ")
+    s = Patterns.cachedMatcher(nonWordSpace, s).replaceAll(" ")
     pySplit(s).mkString(" ") // ' '.join(s.split())
   }
 
@@ -89,7 +102,7 @@ object Py {
     words.exists(sLower.contains)
 
   /** Collapse \s+ to ' ' then strip (precise_table_parser.py:145,297). */
-  def collapseWs(s: String): String = pyStrip(wsRun.matcher(s).replaceAll(" "))
+  def collapseWs(s: String): String = pyStrip(Patterns.cachedMatcher(wsRun, s).replaceAll(" "))
 }
 
 /** Compiled regex patterns with Python-equivalent flags. */
@@ -147,10 +160,26 @@ object Patterns {
     Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE |
       Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES)
 
+  /** Per-thread Matcher reuse: Matcher construction (group arrays + reset)
+    * was the single hottest allocation site in the per-turn engine loop
+    * (sampled round 2); reset(s) on a cached instance reuses the arrays.
+    * Safe because every use below is complete before the same pattern can
+    * be requested again on the thread (no interleaved iteration). */
+  private val localMatchers =
+    ThreadLocal.withInitial[java.util.IdentityHashMap[Pattern, java.util.regex.Matcher]](
+      () => new java.util.IdentityHashMap[Pattern, java.util.regex.Matcher]())
+
+  def cachedMatcher(p: Pattern, s: CharSequence): java.util.regex.Matcher = {
+    val map = localMatchers.get()
+    var m = map.get(p)
+    if (m == null) { m = p.matcher(s); map.put(p, m) } else m.reset(s)
+    m
+  }
+
   /** re.search equivalent. */
-  def search(p: Pattern, s: String): Boolean = p.matcher(s).find()
+  def search(p: Pattern, s: String): Boolean = cachedMatcher(p, s).find()
   /** re.match equivalent (anchored at start). */
-  def matchAt(p: Pattern, s: String): Boolean = p.matcher(s).lookingAt()
+  def matchAt(p: Pattern, s: String): Boolean = cachedMatcher(p, s).lookingAt()
 
   /** Named group or null if absent/unmatched. */
   def group(m: java.util.regex.Matcher, name: String): String =

@@ -67,7 +67,7 @@ object TextParser {
   /** Try patterns R1-R3 in order; first VALID match wins (parser.py:216-245). */
   def parseSingleLine(line: String): Option[Item] = {
     Patterns.textPatterns.iterator.flatMap { p =>
-      val m = p.matcher(line)
+      val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
         val name = m.group("name").pyStrip

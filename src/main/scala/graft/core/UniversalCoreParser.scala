@@ -153,7 +153,7 @@ object UniversalCoreParser {
 
   private def parseLine(line: String): Option[Item] = {
     Patterns.universalPatterns.iterator.flatMap { p =>
-      val m = p.matcher(line)
+      val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
         var name = m.group("name").pyStrip

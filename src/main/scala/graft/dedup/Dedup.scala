@@ -98,16 +98,21 @@ object Dedup {
    * Output: idCol, sig: array<long> of length numHashes.
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 32): DataFrame = {
-    val params = hashParams(numHashes)
-    val paramsLit = array(params.map { case (a, c) =>
+                        k: Int = 3, numHashes: Int = 32): DataFrame =
+    df.where(size(tokens(col(textCol))) >= k) // == "has at least one shingle"
+      .select(col(idCol),
+        graft.expr.signatures.minhash_sig(shingles(col(textCol), k), numHashes).as("sig"))
+
+  /** The declarative (pure-HOF) formulation of the signature — identical
+    * math to the native expression; kept as the differential reference for
+    * SparkSpec's expression-equivalence test. */
+  private[graft] def minhashSigHof(textCol: Column, k: Int, numHashes: Int): Column = {
+    val paramsLit = array(hashParams(numHashes).map { case (a, c) =>
       struct(lit(a).as("a"), lit(c).as("c")) }: _*)
-    val base = transform(shingles(col(textCol), k), s => pmod(md5Hash60(s), lit(P)))
-    val sig = aggregate(base, array_repeat(lit(P), numHashes),
+    val base = transform(shingles(textCol, k), s => pmod(md5Hash60(s), lit(P)))
+    aggregate(base, array_repeat(lit(P), numHashes),
       (acc, h) => zip_with(acc, paramsLit,
         (m, pr) => least(m, pmod(pr.getField("a") * h + pr.getField("c"), lit(P)))))
-    df.where(size(tokens(col(textCol))) >= k) // == "has at least one shingle"
-      .select(col(idCol), sig.as("sig"))
   }
 
   /** Per-band bucket keys: md5 of the band's comma-joined signature rows. */
@@ -205,8 +210,15 @@ object Dedup {
    * all 64 bit-sums, thresholded in the aggregate's finish lambda — no
    * cached intermediate, no 64x recompute (see [[minhashSignatures]]).
    */
-  def simhashBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = transform(tokens(col(textCol)), t => struct(
+  def simhashBlocks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.expr.signatures.simhash_blocks(tokens(col(textCol))).as("blocks"))
+
+  /** Declarative (pure-HOF) blocks formulation — identical math to the
+    * native expression; kept for SparkSpec's equivalence test. One fold
+    * carrying all 64 bit-sums, thresholded in the finish lambda. */
+  private[graft] def simhashBlocksHof(textCol: Column): Column = {
+    val th = transform(tokens(textCol), t => struct(
       conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("hi"),
       conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("lo")))
     // per-bit descriptor: which half holds global bit g, and its mask
@@ -214,14 +226,13 @@ object Dedup {
       struct(lit(g < 32).as("lo"), lit(1L << (g % 32)).as("mask"))
     }: _*)
     val masks16 = array((0 until 16).map(j => lit(1L << j)): _*)
-    val blocks = aggregate(th, array_repeat(lit(0L), 64),
+    aggregate(th, array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, bitsLit, (a, pr) =>
         a + when(when(pr.getField("lo"), h.getField("lo")).otherwise(h.getField("hi"))
           .bitwiseAND(pr.getField("mask")) =!= 0L, 1L).otherwise(-1L)),
       acc => transform(sequence(lit(0), lit(3)), b =>
         aggregate(zip_with(slice(acc, b * 16 + lit(1), lit(16)), masks16,
           (s, m) => when(s > 0, m).otherwise(lit(0L))), lit(0L), _ + _)))
-    df.select(col(idCol), blocks.as("blocks"))
   }
 
   /** Hamming-near pairs via the 4x16-bit block pigeonhole (any pair within

@@ -51,6 +51,26 @@ object PlansDump {
       "in WholeStageCodegen — no UDF/encoder boundary.") {
       SparkEntry.queries("q02_parse_number")(spark, dir).explain("formatted")
     }
+    section("q24 ANN brute-force top-k (salted two-level reduction)",
+      "The per-query top-k runs as TWO windows: first within (query_id, salt) " +
+      "— parallel across salt buckets, so no task ever sorts a corpus-sized " +
+      "candidate list for one key — then over the k*saltBuckets survivors. " +
+      "The query side is a BroadcastNestedLoopJoin build side; the corpus streams.") {
+      SparkEntry.queries("q24_ann_topk")(spark, dir).explain("formatted")
+    }
+    section("q30 ANN IVF (map-side centroid argmax — zero assignment shuffle)",
+      "Corpus-to-centroid assignment is a Project over literal centroids " +
+      "(no crossJoin, no per-id window, no n*k shuffle — the round-1 " +
+      "scale-killer); the only exchanges are the probe join keyed by " +
+      "centroid_id and the salted top-k windows.") {
+      SparkEntry.queries("q30_ann_ivf")(spark, dir).explain("formatted")
+    }
+    section("q21 MinHash candidates (single-fold signature, one bucket shuffle)",
+      "Signatures are ONE native-expression projection per row (MinHashSig " +
+      "static call inside WholeStageCodegen, no cached intermediates, no " +
+      "persist); pairs come from a single groupBy (band, bucket) Exchange.") {
+      SparkEntry.queries("q21_minhash_candidates")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()

@@ -141,6 +141,27 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sim.contains((1L, 2L)))
   }
 
+  test("native signature expressions match the declarative HOF formulation bit-for-bit") {
+    import spark.implicits._
+    val docs = ((1 to 60).map(i => (i.toLong, s"token$i alpha beta gamma doc body $i " * (i % 5 + 1))) ++
+      Seq((100L, ""), (101L, "one two"), (102L, "ПРИВЕТ мир 123 x y z")))
+      .toDF("doc_id", "text")
+    val mExpr = docs.select(col("doc_id"),
+        graft.expr.signatures.minhash_sig(graft.dedup.Dedup.shingles(col("text"), 3), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mHof = docs.select(col("doc_id"),
+        graft.dedup.Dedup.minhashSigHof(col("text"), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mExpr == mHof)
+    val sExpr = docs.select(col("doc_id"),
+        graft.expr.signatures.simhash_blocks(graft.dedup.Dedup.tokens(col("text"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sHof = docs.select(col("doc_id"),
+        graft.dedup.Dedup.simhashBlocksHof(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sExpr == sHof)
+  }
+
   test("ANN brute-force top-k is deterministic and self-excluding") {
     import spark.implicits._
     val vecs = (0L until 30L).map { i =>
