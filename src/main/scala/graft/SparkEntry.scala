@@ -478,6 +478,89 @@ object SparkEntry {
     graft.ann.Similarity.lshNearPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, nPlanes = 6, threshold = 0.3)
 
+  // ---- corpus-level training-data ops --------------------------------------
+  private def qDistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.distinctiveTerms(t(spark, dir, "documents"), "doc_id", "text", topK = 5)
+
+  private val oDistinctiveTerms =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT doc_id, term, tf, df,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rank
+      |  FROM tf JOIN dfq USING (term))
+      |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 5""".stripMargin
+
+  /** Deterministic PII-bearing text built from the customer table (name ->
+    * synthetic email, key-derived NN-NNN-NNN-NNNN phone). */
+  private def piiText: Column = {
+    val phone = concat(
+      lpad(((col("c_nationkey") % 75) + 10).cast("string"), 2, "0"), lit("-"),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"))
+    concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+      lit("@example.com contact "), phone, lit(" ref "), col("c_mktsegment"))
+  }
+
+  private def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.piiScrub(
+      t(spark, dir, "customer").select(col("c_custkey"), piiText.as("text")),
+      "c_custkey", "text")
+
+  private val oPiiScrub = {
+    val e = graft.text.CorpusAnalysis.emailPattern
+    val p = graft.text.CorpusAnalysis.phonePattern
+    s"""WITH c AS (SELECT c_custkey,
+       |    lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@example.com contact '
+       |      || lpad(((c_nationkey % 75) + 10)::VARCHAR, 2, '0') || '-'
+       |      || lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-'
+       |      || lpad((c_custkey * 7 % 1000)::VARCHAR, 3, '0') || '-'
+       |      || lpad((c_custkey * 13 % 10000)::VARCHAR, 4, '0')
+       |      || ' ref ' || c_mktsegment AS text
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  len(regexp_extract_all(text, '$e'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(text, '$p'))::BIGINT AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS scrubbed
+       |FROM c""".stripMargin
+  }
+
+  private def qContamination(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.contamination(t(spark, dir, "documents"), "doc_id", "text",
+      k = 8, benchOutOf256 = 16)
+
+  private val oContamination =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+7], ' ')
+      |    FOR i IN range(1, greatest(len(tk) - 7, 0) + 1)]) AS s
+      |  FROM toks WHERE len(tk) >= 8),
+      |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS h FROM sh),
+      |bench AS (SELECT doc_id AS bench_id, h FROM e
+      |          WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '10')
+      |SELECT e.doc_id, count(DISTINCT e.h) AS n_shared_ngrams,
+      |  count(DISTINCT bench.bench_id) AS n_bench_docs
+      |FROM e JOIN bench USING (h) WHERE e.doc_id != bench.bench_id
+      |GROUP BY e.doc_id""".stripMargin
+
+  private def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.boilerplateLines(t(spark, dir, "documents"), "doc_id", "text",
+      sep = " data ", minDocs = 10)
+
+  private val oBoilerplate =
+    """WITH lines AS (SELECT doc_id,
+      |    lower(trim(unnest(string_split(text, ' data ')))) AS norm
+      |  FROM documents),
+      |freq AS (SELECT norm, count(*) AS dwl
+      |         FROM (SELECT DISTINCT doc_id, norm FROM lines) GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  sum(CASE WHEN dwl >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_boiler_lines
+      |FROM lines JOIN freq USING (norm) GROUP BY doc_id""".stripMargin
+
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.mm.Multimodal.synthesizeMedia(t(spark, dir, "documents"), "doc_id", "text")
     graft.mm.Multimodal.extractMeta(media).toDF()
@@ -617,6 +700,23 @@ object SparkEntry {
        |SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= $topK""".stripMargin
   }
 
+  /** q26 oracle: the multimodal metadata contract — media synthesis (kind
+    * from id mod 3, payload = UTF-8 bytes of text) and the md5-derived
+    * stub-decoder outputs, all replicable in SQL (DuckDB md5(VARCHAR)
+    * hashes the UTF-8 bytes, same as Spark's md5 over the encoded
+    * payload). Verifies the mapPartitions plumbing end-to-end. */
+  private val oMultimodalMeta =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    md5(text) AS h, octet_length(encode(text))::BIGINT AS n_bytes
+      |  FROM documents)
+      |SELECT media_id, kind, n_bytes,
+      |  64 + ('0x' || substr(h, 1, 8))::BIGINT % 1024 AS width,
+      |  64 + ('0x' || substr(h, 9, 8))::BIGINT % 1024 AS height,
+      |  CASE WHEN kind = 'video' THEN 1 + ('0x' || substr(h, 17, 8))::BIGINT % 240 ELSE 1 END AS n_frames,
+      |  h AS checksum
+      |FROM m""".stripMargin
+
   /** q34 oracle: EXHAUSTIVE all-pairs Jaccard above the threshold, then
     * connected components — deliberately NOT the LSH path. A green match
     * proves the banded candidate generation + verify recovers exactly the
@@ -673,7 +773,11 @@ object SparkEntry {
     "q33_det_sample" -> (qSample _),
     "q28_rollup" -> (qRollup _),
     "q29_running_sum" -> (qRunningSum _),
-    "q34_lsh_dedup" -> (qLshDedup _))
+    "q34_lsh_dedup" -> (qLshDedup _),
+    "q35_distinctive_terms" -> (qDistinctiveTerms _),
+    "q36_pii_scrub" -> (qPiiScrub _),
+    "q37_contamination" -> (qContamination _),
+    "q38_boilerplate" -> (qBoilerplate _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -698,8 +802,13 @@ object SparkEntry {
     "q23_embed_neardup" -> oEmbedNearDup,
     "q24_ann_topk" -> oAnnTopK,
     "q25_ann_lsh" -> lshPairsSql(nPlanes = 6, dim = 64, threshold = 0.3),
+    "q26_multimodal_meta" -> oMultimodalMeta,
     "q30_ann_ivf" -> ivfSql(k = 16, nProbe = 4, topK = 5, nQueries = 10, trainCap = 4096L),
     "q34_lsh_dedup" -> oLshDedup,
+    "q35_distinctive_terms" -> oDistinctiveTerms,
+    "q36_pii_scrub" -> oPiiScrub,
+    "q37_contamination" -> oContamination,
+    "q38_boilerplate" -> oBoilerplate,
     "q27_join_agg" -> oJoinAgg,
     "q28_rollup" -> oRollup,
     "q29_running_sum" -> oRunningSum,

@@ -16,25 +16,30 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
-                             width: Int, height: Int, n_frames: Int, checksum: Long)
+                             width: Int, height: Int, n_frames: Int, checksum: String)
 
   /** ====== STUB ====== deterministic fake decoder: derives "dimensions"
-    * from the payload bytes. Replace with a real image/audio decode. */
+    * from the md5 digest of the payload bytes (portable — the DuckDB
+    * oracle replicates the derivation, so even the stub path is
+    * driver-verified). Replace with a real image/audio decode. */
   object FakeDecoder {
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      val w = 64 + Math.floorMod(h, 1024L).toInt
-      val ht = 64 + Math.floorMod(h >>> 17, 1024L).toInt
-      val frames = if (kind == "video") 1 + Math.floorMod(h >>> 33, 240L).toInt else 1
-      (w, ht, frames)
-    }
-    def checksum(bytes: Array[Byte]): Long = {
-      var h = -7046029254386353131L
-      var i = 0
-      while (i < bytes.length) { h = (h ^ bytes(i)) * 1099511628211L; i += 1 }
-      h
+    private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+    private def uint32(d: Array[Byte], off: Int): Long =
+      ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+        ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+
+    /** (width, height, n_frames, checksum-hex). */
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, String) = {
+      val dig = md5.get()
+      dig.reset()
+      val d = dig.digest(bytes)
+      val w = 64 + (uint32(d, 0) % 1024L).toInt
+      val h = 64 + (uint32(d, 4) % 1024L).toInt
+      val frames = if (kind == "video") 1 + (uint32(d, 8) % 240L).toInt else 1
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString
+      (w, h, frames, hex)
     }
   }
 
@@ -58,8 +63,8 @@ object Multimodal {
         // per-partition decoder init would happen here (real codecs are heavy)
         it.map { case (id, kind, bytes) =>
           val safe = if (bytes == null) Array.emptyByteArray else bytes
-          val (w, h, f) = FakeDecoder.decode(kind, safe)
-          MediaMeta(id, kind, safe.length.toLong, w, h, f, FakeDecoder.checksum(safe))
+          val (w, h, f, sum) = FakeDecoder.decode(kind, safe)
+          MediaMeta(id, kind, safe.length.toLong, w, h, f, sum)
         }
       }
   }

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Corpus-level training-data operators: statistics and filters that need
+ * the whole corpus, not one document — distinctive-term extraction
+ * (TF-IDF shape), PII scrubbing, benchmark-contamination checks, and
+ * repeated-line boilerplate detection (the corpus-scale complement of the
+ * per-turn header/footer strip in graft.core.Segmentation).
+ *
+ * Scale shapes: everything reduces to hash-keyed groupBys and equi-joins
+ * on term/line/shingle keys — map-side combinable, no corpus cross
+ * products, windows only over per-document bounded candidate sets.
+ * Rankings are integer-only (tf, df, lexicographic term) so results are
+ * bit-deterministic and SQL-oracle-checkable with no float-accumulation
+ * hazards.
+ */
+object CorpusAnalysis {
+
+  /** Lowercase alnum tokens (same tokenizer as the dedup family). */
+  private def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")
+
+  /**
+   * Top distinctive terms per document — the TF-IDF shape with an
+   * integer-exact ranking: high term frequency first, low document
+   * frequency (rarer = more distinctive) second, term lexicographic as
+   * the deterministic tie-break. Two shuffles (doc-term tf, term df) plus
+   * a term-keyed join; the per-doc window only ever sees that document's
+   * own distinct terms.
+   */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+                       topK: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df")
+  }
+
+  /** Conservative, RE2-compatible PII patterns (identical dialect in Java
+    * regex and DuckDB's RE2 — no lookaround, no backrefs). */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing: count and redact emails/phone numbers. Pure map-side
+    * column expressions — scales embarrassingly. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phonePattern)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"), phonePattern, "<PHONE>")
+        .as("scrubbed"))
+  }
+
+  /**
+   * Benchmark-contamination check: which corpus documents share any
+   * word k-gram with a benchmark document (deterministic md5 sample of
+   * the corpus stands in for the benchmark set)? The join key is the
+   * 60-bit md5 shingle hash, not the shingle string — less shuffle
+   * weight; per-doc output counts distinct shared shingles and distinct
+   * benchmark documents hit. Self-matches excluded.
+   */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, benchOutOf256: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+    val bound = f"$benchOutOf256%02x"
+    val bench = sh.where(substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    sh.join(bench, Seq("h"))
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_shared_ngrams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /**
+   * Corpus-level boilerplate detection (north-star "repeated-prefix /
+   * line-density" heuristic at corpus scale): a line is boilerplate when
+   * its normalized form occurs in at least `minDocs` distinct documents.
+   * Per-document output: total lines and boilerplate lines. One groupBy
+   * on the normalized line + one line-keyed join back.
+   */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                       sep: String, minDocs: Int = 10): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), sep)).as("line"))
+      .select(col("doc_id"), lower(trim(col("line"))).as("norm"))
+    val freq = lines.distinct().groupBy("norm").agg(count(lit(1)).as("docs_with_line"))
+    lines.join(freq, Seq("norm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("docs_with_line") >= minDocs, 1L).otherwise(0L)).as("n_boiler_lines"))
+  }
+}
