@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's SQL surface
- * (currently `parse_number`) so `spark.sql("SELECT parse_number(c) ...")`
- * works cluster-wide via
+ * (`parse_number`, `minhash_sig`, `simhash_blocks`) so
+ * `spark.sql("SELECT parse_number(c) ...")` works cluster-wide via
  * `--conf spark.sql.extensions=graft.expr.GraftExtensions`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -16,5 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_number"),
       new ExpressionInfo(classOf[ParseNumber].getName, "parse_number"),
       (children: Seq[Expression]) => ParseNumber(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head,
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_blocks"),
+      new ExpressionInfo(classOf[SimHashBlocksExpr].getName, "simhash_blocks"),
+      (children: Seq[Expression]) => SimHashBlocksExpr(children.head)))
   }
 }

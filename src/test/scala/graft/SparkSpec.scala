@@ -188,6 +188,14 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql("SELECT parse_number('1 234,56') AS p, parse_number('абв') AS q").collect()(0)
     assert(r.getDouble(0) == 1234.56)
     assert(r.isNullAt(1))
+    // the signature expressions register the same way (GraftExtensions triple)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash_blocks"),
+      new ExpressionInfo(classOf[graft.expr.SimHashBlocksExpr].getName, "simhash_blocks"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.SimHashBlocksExpr(children.head))
+    val b = spark.sql("SELECT simhash_blocks(array('hello', 'world')) AS b").collect()(0)
+    assert(b.getSeq[Long](0).length == 4)
   }
 
   test("IVF top-k with full probing equals brute force; partial probing is a subset search") {
