@@ -107,3 +107,17 @@ object HotPathSample {
     tally.toSeq.sortBy(-_._2).take(30).foreach { case (k, v) => println(f"$v%5d  $k") }
   }
 }
+
+/** Print formatted plans for ad-hoc audit. Usage: Test/runMain graft.PlanPeek q35_distinctive_terms ... */
+object PlanPeek {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { q =>
+      println(s"===== $q =====")
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").explain("formatted")
+    }
+    spark.stop()
+  }
+}
