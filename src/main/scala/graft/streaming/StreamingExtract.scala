@@ -51,6 +51,18 @@ object StreamingExtract {
       .groupBy(window(col("ts"), "10 minutes"), col("conv_id"))
       .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("n_chars"))
 
+  /** Streaming exact dedup: drop turns whose normalized-text fingerprint
+    * was already seen within the watermark horizon — the streaming analog
+    * of graft.dedup.Dedup.exact. State is bounded by the watermark (Spark
+    * evicts fingerprints older than the horizon), which is the only
+    * tractable contract at an unbounded 10^12-turn stream; exact corpus-
+    * lifetime dedup stays a batch job over the accumulated table. */
+  def streamingDedup(turns: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    turns
+      .withColumn("fp", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-conversation running state (custom stateful operator shape):
     * tracks turns seen, item count and the max turn_idx per conv via
     * mapGroupsWithState — the durable analog of the reference watcher's

@@ -80,4 +80,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.nonEmpty)
     assert(stats.map(_.getAs[Long]("n_turns")).sum == 200L)
   }
+
+  test("streaming exact dedup drops duplicate fingerprints within the watermark") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val turns = graft.io.Transcripts.generateDF(spark, 60L)
+    // duplicate every turn's text (same ts window) — stream must emit one per fp
+    turns.union(turns.withColumn("turn_idx", turns("turn_idx") + 1000))
+      .write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamingExtract.transcriptSchema).parquet(inDir)
+    graft.streaming.StreamingExtract.streamingDedup(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start().awaitTermination()
+    val out = spark.read.parquet(outDir)
+    val distinctFps = out.select("fp").distinct().count()
+    assert(out.count() == distinctFps, "no duplicate fingerprints may survive")
+    // the 60 unique texts (minus any natural dups inside the batch) all present
+    assert(distinctFps ==
+      turns.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.regexp_replace(turns("text"), "\\s+", " ")))))
+        .distinct().count())
+  }
 }
