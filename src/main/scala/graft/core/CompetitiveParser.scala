@@ -110,8 +110,8 @@ object CompetitiveParser {
     val price = numbers(1)
     val total = if (numbers.length >= 3) numbers(2) else qty * price
     val unit = values.drop(1).find(v => Rules.tokenUnits.exists(Py.lower(v).contains)).getOrElse("")
-    val currency = values.find(v => Rules.tokenCurrencies.exists(v.toUpperCase.contains))
-      .map(_.toUpperCase).getOrElse("RUB")
+    val currency = values.find(v => Rules.tokenCurrencies.exists(Py.upper(v).contains))
+      .map(Py.upper).getOrElse("RUB")
     val it = Item(name, "", Some(qty), unit, Some(price), currency, Some(total), "",
       s"table_${tableIdx}_row_$rowIdx", 0.8)
     if (validate(it)) Some(it) else None
@@ -138,9 +138,13 @@ object CompetitiveParser {
   private def passesPrefilter(line: String, lower: String): Boolean =
     passesStrictLinePrefilter(line, lower, Rules.headerLineCompetitive, Rules.serviceLineCompetitive)
 
-  /** R14 — key:value structured blocks (competitive_parser.py:387-455). */
+  /** R14 — key:value structured blocks (competitive_parser.py:387-455).
+    * Fast path: most turns contain no blank-line separator at all — a char
+    * scan decides before paying for the regex split. */
   private[core] def parseStructuredText(text: String): Seq[Item] = {
-    val blocks = Patterns.blockSplit.split(text, -1)
+    val blocks =
+      if (!Patterns.hasPyBlockGap(text)) Array(text)
+      else Patterns.blockSplit.split(text, -1)
     blocks.toIndexedSeq.filter(_.pyStrip.nonEmpty).flatMap { block =>
       parseStructuredBlock(block).map(_.copy(source = "structured_text", confidence = 0.9))
     }
@@ -197,8 +201,8 @@ object CompetitiveParser {
       val price = Num.parse(numberParts(1))
       if (qty.isEmpty || price.isEmpty) return None
       val unit = parts.find(p => Rules.tokenUnits.exists(Py.lower(p).contains)).getOrElse("")
-      val currency = parts.find(p => Rules.tokenCurrencies.exists(p.toUpperCase.contains))
-        .map(_.toUpperCase).getOrElse("RUB")
+      val currency = parts.find(p => Rules.tokenCurrencies.exists(Py.upper(p).contains))
+        .map(Py.upper).getOrElse("RUB")
       val total = qty.get * price.get
       val it = Item(name, "", qty, unit, price, currency, Some(total), "",
         s"table_line_$lineIdx", 0.8)

@@ -30,9 +30,26 @@ object Segmentation {
     Segmented(lines, blocks(shared.text), tables(lines))
   }
 
+  /** Does the `\n\s*\n` block separator occur at all? Existence scan that
+    * lets the common single-block turn skip the regex split entirely. */
+  private def hasBlockGap(s: String): Boolean = {
+    var i = s.indexOf('\n')
+    while (i >= 0) {
+      var j = i + 1
+      while (j < s.length && s.charAt(j) != '\n' && isSplitWs(s.charAt(j))) j += 1
+      if (j < s.length && s.charAt(j) == '\n') return true
+      i = s.indexOf('\n', i + 1)
+    }
+    false
+  }
+
   /** T5: blank-line separated blocks, trimmed, empties dropped. */
   def blocks(text: String): IndexedSeq[String] =
     if (text == null || text.isEmpty) IndexedSeq.empty
+    else if (!hasBlockGap(text)) {
+      val t = text.strip()
+      if (t.isEmpty) IndexedSeq.empty else IndexedSeq(t)
+    }
     else text.split("\\n\\s*\\n", -1).toIndexedSeq.map(_.strip()).filter(_.nonEmpty)
 
   /** The engine's normalized per-turn text: blocks of trimmed non-empty
@@ -85,11 +102,32 @@ object Segmentation {
   private def isTabular(line: String): Boolean =
     splitCells(line).length >= 2
 
-  private def splitCells(line: String): IndexedSeq[Option[String]] =
-    line.strip().split(cellGap, -1).toIndexedSeq.map { c =>
+  /** Java-regex-default \s (the class `cellGap` compiles with). */
+  private def isSplitWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
+
+  /** Any two consecutive gap chars? Cheap scan that skips the regex split
+    * for the (majority) non-tabular lines — pure fast path, same result. */
+  private def hasCellGap(s: String): Boolean = {
+    var i = 1
+    while (i < s.length) {
+      if (isSplitWs(s.charAt(i)) && isSplitWs(s.charAt(i - 1))) return true
+      i += 1
+    }
+    false
+  }
+
+  private val singleNone: IndexedSeq[Option[String]] = IndexedSeq(None)
+
+  private def splitCells(line: String): IndexedSeq[Option[String]] = {
+    val t = line.strip()
+    if (t.isEmpty) return singleNone
+    if (!hasCellGap(t)) return IndexedSeq(Some(t))
+    t.split(cellGap, -1).toIndexedSeq.map { c =>
       val s = c.strip()
       if (s.isEmpty) None else Some(s)
     }
+  }
 
   /** is_valid_table (extractor.py:222-249): >=1 row, >=2 cols, >=2 non-empty
     * headers, >=1 row with any non-empty cell. */
