@@ -561,6 +561,27 @@ object SparkEntry {
       |  sum(CASE WHEN dwl >= 10 THEN 1 ELSE 0 END)::BIGINT AS n_boiler_lines
       |FROM lines JOIN freq USING (norm) GROUP BY doc_id""".stripMargin
 
+  // ---- as-of join (events): each purchase joined to the user's latest
+  // prior-or-simultaneous click — oracled by DuckDB's native ASOF JOIN.
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.relational.AsOf.asofJoin(purchases, clicks, "user_id", "ts", Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"), col("purchase_value"),
+        col("asof_value").as("click_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+  }
+
+  private val oAsofJoin =
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.value AS purchase_value, c.value AS click_value,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.mm.Multimodal.synthesizeMedia(t(spark, dir, "documents"), "doc_id", "text")
     graft.mm.Multimodal.extractMeta(media).toDF()
@@ -777,7 +798,8 @@ object SparkEntry {
     "q35_distinctive_terms" -> (qDistinctiveTerms _),
     "q36_pii_scrub" -> (qPiiScrub _),
     "q37_contamination" -> (qContamination _),
-    "q38_boilerplate" -> (qBoilerplate _))
+    "q38_boilerplate" -> (qBoilerplate _),
+    "q39_asof_join" -> (qAsofJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -809,6 +831,7 @@ object SparkEntry {
     "q36_pii_scrub" -> oPiiScrub,
     "q37_contamination" -> oContamination,
     "q38_boilerplate" -> oBoilerplate,
+    "q39_asof_join" -> oAsofJoin,
     "q27_join_agg" -> oJoinAgg,
     "q28_rollup" -> oRollup,
     "q29_running_sum" -> oRunningSum,

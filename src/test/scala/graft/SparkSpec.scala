@@ -218,6 +218,25 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(part1.sameElements(part2))
   }
 
+  test("as-of join attaches the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), 5.0),
+                   (2L, "u1", ts("2024-01-01 12:00:00"), 6.0),
+                   (3L, "u2", ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("event_id", "user_id", "ts", "v")
+    val right = Seq(("u1", ts("2024-01-01 09:30:00"), 100.0),
+                    ("u1", ts("2024-01-01 12:00:00"), 200.0), // equal ts -> inclusive
+                    ("u2", ts("2024-01-01 09:30:00"), 300.0)) // after left -> no match
+      .toDF("user_id", "ts", "rv")
+    val out = graft.relational.AsOf.asofJoin(left, right, "user_id", "ts", Seq("rv"))
+      .select("event_id", "asof_rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) == Some(100.0))  // latest before 10:00
+    assert(out(2L) == Some(200.0))  // equal ts is inclusive
+    assert(out(3L) == None)         // nothing at-or-before 09:00
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
