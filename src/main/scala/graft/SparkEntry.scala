@@ -582,6 +582,30 @@ object SparkEntry {
       |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  // ---- banded range join: clicks within the hour before each error ---------
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.relational.RangeJoin
+      .intervalJoin(errors, clicks, "user_id", "ts", 3600000000L, Seq("value"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        max(col("r_value")).as("max_click_value"),
+        min(col("r_value")).as("min_click_value"))
+  }
+
+  private val oRangeJoin =
+    """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT e.event_id, count(*) AS n_clicks,
+      |  max(c.value) AS max_click_value, min(c.value) AS min_click_value
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |  AND epoch_us(e.ts) - epoch_us(c.ts) BETWEEN 0 AND 3599999999
+      |GROUP BY e.event_id""".stripMargin
+
   private def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.mm.Multimodal.synthesizeMedia(t(spark, dir, "documents"), "doc_id", "text")
     graft.mm.Multimodal.extractMeta(media).toDF()
@@ -799,7 +823,8 @@ object SparkEntry {
     "q36_pii_scrub" -> (qPiiScrub _),
     "q37_contamination" -> (qContamination _),
     "q38_boilerplate" -> (qBoilerplate _),
-    "q39_asof_join" -> (qAsofJoin _))
+    "q39_asof_join" -> (qAsofJoin _),
+    "q40_range_join" -> (qRangeJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -832,6 +857,7 @@ object SparkEntry {
     "q37_contamination" -> oContamination,
     "q38_boilerplate" -> oBoilerplate,
     "q39_asof_join" -> oAsofJoin,
+    "q40_range_join" -> oRangeJoin,
     "q27_join_agg" -> oJoinAgg,
     "q28_rollup" -> oRollup,
     "q29_running_sum" -> oRunningSum,

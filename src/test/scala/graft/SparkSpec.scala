@@ -237,6 +237,24 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == None)         // nothing at-or-before 09:00
   }
 
+  test("banded range join honors the exact interval incl. band boundaries") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime // ms
+    def ts(offsetUs: Long) = new java.sql.Timestamp(base + offsetUs / 1000)
+    val win = 3600000000L // 1h in us
+    val left = Seq((1L, "u1", ts(2 * win))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      ("u1", ts(2 * win), 1.0),           // equal ts -> in
+      ("u1", ts(2 * win - (win - 1000)), 2.0), // inside window, previous band -> in
+      ("u1", ts(win), 3.0),               // exactly window before -> OUT (strict >)
+      ("u1", ts(2 * win + 1000), 4.0))    // after left -> out
+      .toDF("user_id", "ts", "value")
+    val got = graft.relational.RangeJoin
+      .intervalJoin(left, right, "user_id", "ts", win, Seq("value"))
+      .select("r_value").collect().map(_.getDouble(0)).toSet
+    assert(got == Set(1.0, 2.0))
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
