@@ -90,7 +90,10 @@ object Bench {
     // low-core configs are slow per rep — shrink the protocol to stay
     // within the driver's time budget
     val reps = 3
-    val nRounds = if (cpus >= 16) 2 else 1
+    // 3 interleaved rounds at high core counts: the host's CPU delivery can
+    // degrade for whole minutes at a time, which best-of-reps inside one
+    // window cannot defend against — more widely-spaced rounds can
+    val nRounds = if (cpus >= 16) 3 else 1
     val rounds = (1 to nRounds).map { _ =>
       (pinnedRun(small, scalingTurns, reps), pinnedRun(cpus, scalingTurns, reps, ceilSmall = small))
     }
@@ -132,7 +135,8 @@ object Bench {
       "q15_token_counts", "q17_sessionize", "q18_extract_turns",
       "q19_extract_items", "q21_minhash_candidates", "q22_simhash_candidates",
       "q24_ann_topk", "q26_multimodal_meta", "q30_ann_ivf", "q34_lsh_dedup",
-      "q35_distinctive_terms", "q37_contamination", "q38_boilerplate")
+      "q35_distinctive_terms", "q37_contamination", "q38_boilerplate",
+      "q39_asof_join", "q40_range_join")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is
