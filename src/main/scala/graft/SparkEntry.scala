@@ -476,7 +476,7 @@ object SparkEntry {
 
   private def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Similarity.lshNearPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, nPlanes = 6, threshold = 0.3)
+      dim = 64, nPlanes = 6, threshold = 0.3, maxBucket = 10000)
 
   // ---- corpus-level training-data ops --------------------------------------
   private def qDistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
@@ -530,7 +530,7 @@ object SparkEntry {
 
   private def qContamination(spark: SparkSession, dir: String): DataFrame =
     graft.text.CorpusAnalysis.contamination(t(spark, dir, "documents"), "doc_id", "text",
-      k = 8, benchOutOf256 = 16)
+      k = 8, benchOutOf256 = 16, maxDf = 10000)
 
   private val oContamination =
     """WITH toks AS (SELECT doc_id,
@@ -539,7 +539,9 @@ object SparkEntry {
       |sh AS (SELECT doc_id, list_distinct([array_to_string(tk[i:i+7], ' ')
       |    FOR i IN range(1, greatest(len(tk) - 7, 0) + 1)]) AS s
       |  FROM toks WHERE len(tk) >= 8),
-      |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS h FROM sh),
+      |e0 AS (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS h FROM sh),
+      |okh AS (SELECT h FROM e0 GROUP BY h HAVING count(*) <= 10000),
+      |e AS (SELECT e0.* FROM e0 JOIN okh USING (h)),
       |bench AS (SELECT doc_id AS bench_id, h FROM e
       |          WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '10')
       |SELECT e.doc_id, count(DISTINCT e.h) AS n_shared_ngrams,
@@ -697,7 +699,8 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank FROM sc)
        |SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= 5""".stripMargin
 
-  private def lshPairsSql(nPlanes: Int, dim: Int, threshold: Double): String = {
+  private def lshPairsSql(nPlanes: Int, dim: Int, threshold: Double,
+                          maxBucket: Int): String = {
     val w = graft.ann.Similarity.planeWeights(nPlanes, dim)
     val bucketExpr = (0 until nPlanes).map { p =>
       val wLit = w(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
@@ -705,8 +708,10 @@ object SparkEntry {
     }.mkString("(", " +\n  ", ")")
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT id, v, $bucketExpr AS bucket FROM v),
+       |ok AS (SELECT bucket FROM b GROUP BY 1 HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |ex AS (SELECT b.* FROM b JOIN ok USING (bucket)),
        |p AS (SELECT x.id AS id_a, y.id AS id_b, ${cosSql("x.v", "y.v")} AS cosine
-       |      FROM b x JOIN b y USING (bucket) WHERE x.id < y.id)
+       |      FROM ex x JOIN ex y USING (bucket) WHERE x.id < y.id)
        |SELECT DISTINCT id_a, id_b, cosine FROM p WHERE cosine > $threshold""".stripMargin
   }
 
@@ -848,7 +853,7 @@ object SparkEntry {
     "q22_simhash_candidates" -> simhashCandSql(maxHamming = 3, maxBucket = 10000),
     "q23_embed_neardup" -> oEmbedNearDup,
     "q24_ann_topk" -> oAnnTopK,
-    "q25_ann_lsh" -> lshPairsSql(nPlanes = 6, dim = 64, threshold = 0.3),
+    "q25_ann_lsh" -> lshPairsSql(nPlanes = 6, dim = 64, threshold = 0.3, maxBucket = 10000),
     "q26_multimodal_meta" -> oMultimodalMeta,
     "q30_ann_ivf" -> ivfSql(k = 16, nProbe = 4, topK = 5, nQueries = 10, trainCap = 4096L),
     "q34_lsh_dedup" -> oLshDedup,

@@ -85,13 +85,24 @@ object Similarity {
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed near-neighbor pairs: cosine computed only within buckets. */
+  /** LSH-bucketed near-neighbor pairs: cosine computed only within buckets.
+    * `maxBucket` is the explicit skew guard its MinHash/SimHash siblings
+    * carry (graft.dedup.Dedup): a degenerate hot bucket (few planes, or a
+    * dense direction in embedding space) would otherwise be an unbounded
+    * in-bucket quadratic self-join. The cap is part of the operator's
+    * semantics and mirrored by the SQL oracle, not a silent drop; the
+    * pre-count also keeps singleton buckets out of the join entirely. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-                   nPlanes: Int = 12, threshold: Double = 0.9): DataFrame = {
+                   nPlanes: Int = 12, threshold: Double = 0.9,
+                   maxBucket: Int = 10000): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planeWeights(nPlanes, dim)))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val ok = v.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBucket))
+      .select("bucket")
+    val vv = v.join(ok, Seq("bucket"), "left_semi")
+    val a = vv.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = vv.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") > threshold)
@@ -139,6 +150,13 @@ object Similarity {
     val seeds = train.where(pmod(col("id"), lit(stride)) === 0)
       .orderBy("id").limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(seeds.nonEmpty,
+      s"trainIvfCentroids: no training rows with $idCol < $trainCap — the id space " +
+        "must start below trainCap (empty corpus, or ids offset past the cap)")
+    // a seed centroid that attracts no sample vectors in the Lloyd step is
+    // dropped (its group never forms), so the effective k can shrink — the
+    // standard coarse-quantizer behavior; probes adapt to the centroids
+    // that remain
     val dim = seeds.head._2.length
     // one Lloyd step over the sample: mean of assigned vectors, id-ordered fold
     val assigned = train.withColumn("cid", nearestCentroid(col("v"), seeds))

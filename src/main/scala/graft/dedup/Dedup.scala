@@ -129,9 +129,16 @@ object Dedup {
     * bucket that large is a degenerate collision class, not a near-dup
     * set. */
   private def pairsWithinBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val grouped = banded.groupBy("band", "bucket")
+    // pre-count bucket sizes and semi-join oversized buckets OUT before the
+    // collect_list pass: the count is a cheap map-side-combinable aggregate,
+    // so a degenerate bucket never materializes in one aggregation buffer —
+    // the cap bounds aggregation memory, not just pair emission
+    val ok = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBucket))
+      .select("band", "bucket")
+    val grouped = banded.join(ok, Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
     grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -243,9 +250,14 @@ object Dedup {
     val sigs = simhashBlocks(df, idCol, textCol)
     val banded = sigs.select(col(idCol).as("id"), col("blocks"),
       posexplode(col("blocks")).as(Seq("block", "block_val")))
-    val grouped = banded.groupBy("block", "block_val")
+    // same pre-count guard as pairsWithinBuckets: oversized buckets are
+    // excluded BEFORE collect_list materializes them
+    val ok = banded.groupBy("block", "block_val").agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBucket))
+      .select("block", "block_val")
+    val grouped = banded.join(ok, Seq("block", "block_val"), "left_semi")
+      .groupBy("block", "block_val")
       .agg(sort_array(collect_list(struct(col("id"), col("blocks")))).as("ms"))
-      .where(size(col("ms")).between(2, maxBucket))
     grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
@@ -272,45 +284,80 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Large-star step (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): every node u links each STRICTLY LARGER
+    * neighbor to the minimum of its closed neighborhood. Edges are kept
+    * oriented child > parent; output is again child > parent. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+    nbrs.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+      .distinct()
+  }
+
+  /** Small-star step: every node links itself and all its smaller
+    * neighbors (its parents, under child > parent orientation) to the
+    * smallest of them. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+    val rewired = edges.join(mins, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    rewired.union(mins.select(col("u"), col("m").as("v"))).distinct()
+  }
+
   /**
    * Near-duplicate clusters: connected components over candidate pairs,
-   * labeled by the component's minimum id. Iterative neighbor min-label
-   * propagation — O(diameter) rounds (each round a label moves one hop).
-   * Every round's labels are localCheckpoint'ed: lineage is truncated so
-   * the plan does not grow with rounds, and superseded rounds' blocks are
-   * released by the ContextCleaner once dereferenced. The driver-side
-   * `count` per round is the convergence check; `maxRounds` bounds the
-   * loop, and hitting the cap with labels still changing logs a warning
-   * (components wider than maxRounds hops would be mislabeled).
+   * labeled by the component's minimum id. Alternating large-star /
+   * small-star contraction — O(log n) rounds regardless of component
+   * DIAMETER (round-2's min-label propagation was O(diameter): a
+   * 10^6-hop path component could exceed any fixed round cap; star
+   * contraction halves the structure each round, so maxRounds=50 covers
+   * any component that fits in a cluster). Every round's edge set is
+   * localCheckpoint'ed: lineage is truncated so the plan does not grow
+   * with rounds, and superseded rounds' blocks are released by the
+   * ContextCleaner once dereferenced. Convergence = the oriented edge set
+   * reaches its fixed point (stars rooted at component minima).
    */
-  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
-      .localCheckpoint()
-    var changed = 1L
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    dedupClustersWithRounds(pairs, maxRounds)._1
+
+  /** [[dedupClusters]] exposing the converged round count (for tests). */
+  private[graft] def dedupClustersWithRounds(pairs: DataFrame,
+                                             maxRounds: Int = 50): (DataFrame, Int) = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct().localCheckpoint()
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), Seq("v"))
-        .groupBy("u").agg(min(col("vlabel")).as("nbr_label"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("u", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") < col("old")).count()
-      labels = next
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sets are distinct, so equality == same count + empty anti-join
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
       rounds += 1
     }
-    if (changed > 0)
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"dedupClusters hit the $maxRounds-round cap with labels still changing; " +
-          "components wider than the cap are mislabeled — raise maxRounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .warn(s"dedupClusters hit the $maxRounds-round cap before the star fixed " +
+          "point; labels may be incomplete — raise maxRounds")
+    // at the fixed point every non-root points straight at its component
+    // min and roots never appear as a child; min(v) also degrades sanely
+    // if the cap was hit
+    val labels = nodes.join(
+        edges.groupBy("u").agg(min(col("v")).as("mn")).withColumnRenamed("u", "id"),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("mn"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** First-wins dedup window (A1 at corpus level): one row per key, winner =

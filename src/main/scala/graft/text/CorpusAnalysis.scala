@@ -67,12 +67,25 @@ object CorpusAnalysis {
    * 60-bit md5 shingle hash, not the shingle string — less shuffle
    * weight; per-doc output counts distinct shared shingles and distinct
    * benchmark documents hit. Self-matches excluded.
+   *
+   * `maxDf` drops shingles whose corpus document frequency exceeds the cap
+   * BEFORE the join: one boilerplate k-gram shared by millions of corpus
+   * docs is a single hot join key that would explode the join, and real
+   * decontamination pipelines discard ultra-high-df shingles anyway (a
+   * phrase that common carries no contamination signal). The cap is part
+   * of the operator's semantics, mirrored by the SQL oracle.
    */
   def contamination(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 8, benchOutOf256: Int = 16): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
+                    k: Int = 8, benchOutOf256: Int = 16,
+                    maxDf: Int = 10000): DataFrame = {
+    val shAll = df.select(col(idCol).as("doc_id"),
         explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
       .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+    // shingles are per-doc distinct, so rows per hash == docs containing it
+    val okH = shAll.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("h")
+    val sh = shAll.join(okH, Seq("h"), "left_semi")
     val bound = f"$benchOutOf256%02x"
     val bench = sh.where(substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
       .select(col("doc_id").as("bench_id"), col("h"))
@@ -92,8 +105,10 @@ object CorpusAnalysis {
    */
   def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
                        sep: String, minDocs: Int = 10): DataFrame = {
+    // sep is a LITERAL separator (the oracle's string_split is literal);
+    // quote it so regex metacharacters cannot silently diverge
     val lines = df.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), sep)).as("line"))
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
       .select(col("doc_id"), lower(trim(col("line"))).as("norm"))
     val freq = lines.distinct().groupBy("norm").agg(count(lit(1)).as("docs_with_line"))
     lines.join(freq, Seq("norm"))

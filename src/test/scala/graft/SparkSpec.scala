@@ -255,6 +255,98 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1.0, 2.0))
   }
 
+  test("star-contraction clustering converges in O(log n) rounds on a 100-hop path") {
+    import spark.implicits._
+    // a path 0-1-2-...-100 has diameter 100: min-label propagation needs
+    // ~100 rounds, star contraction must stay under 15 (2^15 >> 101)
+    val path = (0L until 100L).map(i => (i, i + 1))
+    // plus a second component and a triangle to check labeling
+    val other = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val pairs = (path ++ other).toDF("id_a", "id_b")
+    val (labels, rounds) = graft.dedup.Dedup.dedupClustersWithRounds(pairs, maxRounds = 15)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds <= 15, s"took $rounds rounds")
+    assert((0L to 100L).forall(got(_) == 0L))
+    assert(Seq(200L, 201L, 202L).forall(got(_) == 200L))
+    assert(got.size == 104)
+  }
+
+  test("as-of join returns the true as-of row's null payload, from one right row") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "u1", ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // the TRUE as-of row (11:00) has a null payload value `a` — per-column
+    // last(ignoreNulls) would wrongly reach back to 10:00's 1.0 and mix
+    // columns from different rows; the struct formulation must not
+    val right = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), Some(1.0), Some("x")),
+      ("u1", ts("2024-01-01 11:00:00"), None: Option[Double], Some("y")))
+      .toDF("user_id", "ts", "a", "b")
+    val out = graft.relational.AsOf.asofJoin(left, right, "user_id", "ts", Seq("a", "b"))
+      .select("asof_a", "asof_b").collect().head
+    assert(out.isNullAt(0), "null in the as-of row must be returned as null")
+    assert(out.getString(1) == "y")
+  }
+
+  test("salted as-of join equals the plain as-of join on a hot key") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000L)
+    // one hot user with 300 interleaved events over 5 hours, plus a cold
+    // user whose left rows land in buckets with NO right rows (carry-in
+    // must cross empty buckets)
+    val left = (0L until 150L).map(i => (i, "hot", ts(i * 2))) ++
+      Seq((900L, "cold", ts(200L)), (901L, "cold", ts(290L)))
+    val right = (0L until 100L).map(i => ("hot", ts(i * 3 + 1), i.toDouble)) ++
+      Seq(("cold", ts(5L), 999.0))
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("user_id", "ts", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_v").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1.0 else x.getDouble(1)))
+        .sortBy(_._1).toSeq
+    val plain = canon(graft.relational.AsOf.asofJoin(l, r, "user_id", "ts", Seq("v")))
+    // 30-minute buckets -> the hot key spreads over 10 window partitions
+    val salted = canon(graft.relational.AsOf.asofJoinSalted(
+      l, r, "user_id", "ts", Seq("v"), bucketWidthUs = 30L * 60 * 1000000))
+    assert(salted == plain)
+  }
+
+  test("LSH near-pair bucket cap excludes degenerate hot buckets") {
+    import spark.implicits._
+    val vec = (0 until 8).map(i => 1.0 + i * 0.1).toArray
+    val emb = (0L until 4L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    // identical vectors -> one bucket of size 4
+    val capped = graft.ann.Similarity.lshNearPairs(emb, "vec_id", "embedding",
+      dim = 8, nPlanes = 4, threshold = 0.9, maxBucket = 3)
+    assert(capped.count() == 0L, "bucket of 4 must be excluded at maxBucket=3")
+    val open = graft.ann.Similarity.lshNearPairs(emb, "vec_id", "embedding",
+      dim = 8, nPlanes = 4, threshold = 0.9, maxBucket = 10)
+    assert(open.count() == 6L) // C(4,2) identical-vector pairs
+  }
+
+  test("contamination df-cap drops corpus-common boilerplate shingles") {
+    import spark.implicits._
+    val common = (1 to 8).map(i => s"common$i").mkString(" ")
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    def uniq(i: Int) = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
+    // 20 docs all carry the boilerplate 8-gram; docs 1 and 2 additionally
+    // share a rare 8-gram
+    val docs = (1 to 20).map { i =>
+      val extra = if (i <= 2) s" $shared" else ""
+      (i.toLong, s"$common ${uniq(i)}$extra")
+    }.toDF("doc_id", "text")
+    val uncapped = graft.text.CorpusAnalysis.contamination(
+      docs, "doc_id", "text", k = 8, benchOutOf256 = 255, maxDf = 10000)
+    assert(uncapped.count() == 20L, "every doc shares the boilerplate shingle")
+    val capped = graft.text.CorpusAnalysis.contamination(
+      docs, "doc_id", "text", k = 8, benchOutOf256 = 255, maxDf = 5)
+    val got = capped.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_shared_ngrams")).toMap
+    assert(got.keySet == Set(1L, 2L), s"only the rare shared 8-gram survives: $got")
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")

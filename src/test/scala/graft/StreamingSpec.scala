@@ -105,4 +105,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           org.apache.spark.sql.functions.regexp_replace(turns("text"), "\\s+", " ")))))
         .distinct().count())
   }
+
+  test("streaming dedup with an unbounded horizon equals batch Dedup.exact") {
+    // the differential: the same input through the batch operator and the
+    // stream (horizon so wide no state is ever evicted) must keep the same
+    // survivor FINGERPRINT set — which row survives per fp is arbitrary in
+    // both (batch keeps min id, stream keeps first seen), so fp sets are
+    // the contract
+    val base = java.nio.file.Files.createTempDirectory("graft-sdiff").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val turns = graft.io.Transcripts.generateDF(spark, 120L)
+    val withDups = turns.union(turns.withColumn("turn_idx", turns("turn_idx") + 5000))
+    withDups.write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamingExtract.transcriptSchema).parquet(inDir)
+    graft.streaming.StreamingExtract.streamingDedup(stream, horizon = "3650 days")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start().awaitTermination()
+    val streamFps = spark.read.parquet(outDir)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val batchFps = graft.dedup.Dedup.exact(withDups, "turn_idx", "text")
+      .select("norm_hash").collect().map(_.getString(0)).toSet
+    assert(streamFps == batchFps)
+    assert(spark.read.parquet(outDir).count() == batchFps.size.toLong,
+      "stream must emit exactly one survivor per fingerprint")
+  }
 }
