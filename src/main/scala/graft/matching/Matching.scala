@@ -53,6 +53,52 @@ object Matching {
       .withColumn("is_auto_match", col("score") >= auto)
   }
 
+  private val processTokensUdf =
+    udf((s: String) => Fuzzy.process(s).split(" ").filter(_.nonEmpty).distinct)
+
+  /**
+   * Token-blocked variant of [[topMatches]] for a LARGE product catalog:
+   * instead of scoring every item x product pair (the reference's
+   * semantics — fine for its in-memory dim, quadratic at a real catalog),
+   * items and products are equi-joined on shared preprocessed tokens first
+   * and only co-blocked pairs are WRatio-scored. The blocking key uses the
+   * SAME preprocessing as the scorer (Fuzzy.process), so any pair whose
+   * similarity comes from shared words is recalled exactly.
+   *
+   * Contract: a pair sharing NO processed token is never scored, so a
+   * match relying purely on character-level similarity inside differing
+   * tokens (e.g. a typo in an item's only word) is missed — when every
+   * >=`suggest` pair shares a token, output is IDENTICAL to [[topMatches]]
+   * (ranks included: sub-threshold candidates always rank below surviving
+   * ones, so dropping unblocked sub-threshold pairs cannot shift ranks).
+   * SparkSpec asserts the equivalence on the test dimension.
+   */
+  def topMatchesBlocked(items: DataFrame, products: DataFrame,
+                        itemKeyCols: Seq[String], nameCol: String = "name",
+                        limit: Int = 3,
+                        suggest: Double = Rules.suggestThreshold,
+                        auto: Double = Rules.autoMatchThreshold): DataFrame = {
+    val prods = products.select(
+      col("product_id"), col("sku").as("match_sku"), col("name").as("match_name"))
+    val prodTok = prods.select(col("product_id"),
+      explode(processTokensUdf(col("match_name"))).as("__tok"))
+    val itemCols = items.columns.map(col)
+    val cands = items
+      .withColumn("__tok", explode(processTokensUdf(col(nameCol))))
+      .join(broadcast(prodTok), Seq("__tok"))
+      .select((itemCols :+ col("product_id")): _*)
+      .distinct()
+    val scored = cands
+      .join(broadcast(prods), Seq("product_id"))
+      .withColumn("score", wratioUdf(col(nameCol), col("match_name")))
+    val w = Window.partitionBy(itemKeyCols.map(col): _*)
+      .orderBy(desc("score"), asc("product_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= limit && col("score") >= suggest)
+      .withColumn("is_auto_match", col("score") >= auto)
+  }
+
   /** J2 batch matcher: best suggestion folded onto each item row
     * (matcher.py:121-158). */
   def batchMatch(items: DataFrame, products: DataFrame,

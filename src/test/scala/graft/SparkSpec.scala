@@ -255,6 +255,21 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1.0, 2.0))
   }
 
+  test("token-blocked matcher equals the all-pairs matcher on the product dim") {
+    val products = graft.io.Transcripts.productsDim(spark)
+    val items = Pipeline.extractItems(graft.io.Transcripts.generateDF(spark, 300L))
+      .select("conv_id", "turn_idx", "item_idx", "name")
+    val keys = Seq("conv_id", "turn_idx", "item_idx")
+    val cols = Seq("conv_id", "turn_idx", "item_idx", "name", "product_id",
+      "match_sku", "match_name", "score", "rank", "is_auto_match")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    val allPairs = canon(graft.matching.Matching.topMatches(items, products, keys))
+    val blocked = canon(graft.matching.Matching.topMatchesBlocked(items, products, keys))
+    assert(blocked == allPairs)
+    assert(allPairs.nonEmpty)
+  }
+
   test("star-contraction clustering converges in O(log n) rounds on a 100-hop path") {
     import spark.implicits._
     // a path 0-1-2-...-100 has diameter 100: min-label propagation needs
