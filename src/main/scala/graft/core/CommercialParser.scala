@@ -24,7 +24,7 @@ object CommercialParser {
   // commercial_parser.py:96-128
   private[core] def identifyColumns(table: Tab): Option[Map[String, Int]] = {
     if (table.nCols >= 11) return Some(byPosition(table.nCols)) // forced positional for wide tables
-    var mapping = mapBySynonyms(table.header, Rules.commercialHeaderPatterns, clean = true).toMap
+    var mapping = mapBySynonyms(table, Rules.commercialHeaderPatterns, clean = true).toMap
     if (mapping.isEmpty) mapping = byPosition(table.nCols)
     if (mapping.contains("name") && mapping.size >= 2) Some(mapping) else None
   }
@@ -73,7 +73,7 @@ object CommercialParser {
     table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
       if (rowIdx == 0) None
       else {
-        val values = rowValues(row)
+        val values = table.rowVals(rowIdx)
         if (values.length >= 4)
           try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None }
         else None

@@ -28,27 +28,34 @@ object CompetitiveParser {
 
   // competitive_parser.py:134-202
   private[core] def identifyColumns(table: Tab): Option[Map[String, Int]] = {
-    var mapping = mapBySynonyms(table.header, Rules.competitiveHeaderPatterns, clean = true).toMap
-    if (mapping.isEmpty) mapping = identifyByContent(table.header)
+    var mapping = mapBySynonyms(table, Rules.competitiveHeaderPatterns, clean = true).toMap
+    if (mapping.isEmpty) mapping = identifyByContent(table)
     if (mapping.contains("name") && mapping.size >= 2) Some(mapping) else None
   }
 
+  private val cNum = Seq("№", "номер", "n", "number")
+  private val cName = Seq("наимен", "название", "описание", "товар")
+  private val cQty = Seq("кол-во", "количество", "qty", "amount")
+  private val cUnit = Seq("ед", "единица", "изм", "unit")
+  private val cPrice = Seq("цена", "стоимость", "price", "cost")
+  private val cTotal = Seq("сумма", "итого", "total", "sum")
+
   /** competitive_parser.py:163-202 — elif chain with no-overwrite guards. */
-  private def identifyByContent(header: IndexedSeq[Option[String]]): Map[String, Int] = {
+  private def identifyByContent(table: Tab): Map[String, Int] = {
+    val header = table.header
     val mapping = mutable.LinkedHashMap.empty[String, Int]
-    header.zipWithIndex.foreach { case (col, idx) =>
-      val s = Py.lower(Py.pyStr(col)).pyStrip
-      if (Seq("№", "номер", "n", "number").exists(s.contains)) {
+    table.headerLower.zipWithIndex.foreach { case (s, idx) =>
+      if (cNum.exists(s.contains)) {
         // skip position-number columns
-      } else if (!mapping.contains("name") && Seq("наимен", "название", "описание", "товар").exists(s.contains))
+      } else if (!mapping.contains("name") && cName.exists(s.contains))
         mapping("name") = idx
-      else if (!mapping.contains("qty") && Seq("кол-во", "количество", "qty", "amount").exists(s.contains))
+      else if (!mapping.contains("qty") && cQty.exists(s.contains))
         mapping("qty") = idx
-      else if (!mapping.contains("unit") && Seq("ед", "единица", "изм", "unit").exists(s.contains))
+      else if (!mapping.contains("unit") && cUnit.exists(s.contains))
         mapping("unit") = idx
-      else if (!mapping.contains("price") && Seq("цена", "стоимость", "price", "cost").exists(s.contains))
+      else if (!mapping.contains("price") && cPrice.exists(s.contains))
         mapping("price") = idx
-      else if (!mapping.contains("total") && Seq("сумма", "итого", "total", "sum").exists(s.contains))
+      else if (!mapping.contains("total") && cTotal.exists(s.contains))
         mapping("total") = idx
     }
     if (mapping.isEmpty && header.length >= 3)
@@ -94,7 +101,7 @@ object CompetitiveParser {
     table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
       if (rowIdx == 0) None
       else {
-        val values = rowValues(row)
+        val values = table.rowVals(rowIdx)
         if (values.length >= 3)
           try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None }
         else None
@@ -121,7 +128,7 @@ object CompetitiveParser {
   private def parseText(shared: SharedLines): Seq[Item] = {
     val items = mutable.ArrayBuffer.empty[Item]
     // structured key:value blocks first (T5/R14)
-    items ++= parseStructuredText(shared.text)
+    items ++= parseStructuredTextShared(shared)
     shared.stripped.zipWithIndex.foreach { case (line, lineIdx) =>
       if (shared.hasDigit(lineIdx) && passesPrefilter(line, shared.lower(lineIdx))) {
         parseTableLine(line, lineIdx) match {
@@ -141,16 +148,47 @@ object CompetitiveParser {
   /** R14 — key:value structured blocks (competitive_parser.py:387-455).
     * Fast path: most turns contain no blank-line separator at all — a char
     * scan decides before paying for the regex split. */
-  private[core] def parseStructuredText(text: String): Seq[Item] = {
-    val blocks =
-      if (!Patterns.hasPyBlockGap(text)) Array(text)
-      else Patterns.blockSplit.split(text, -1)
-    blocks.toIndexedSeq.filter(_.pyStrip.nonEmpty).flatMap { block =>
-      parseStructuredBlock(block).map(_.copy(source = "structured_text", confidence = 0.9))
+  private[core] def parseStructuredText(text: String): Seq[Item] =
+    parseStructuredTextImpl(text, null)
+
+  /** Variant reusing the turn's [[SharedLines]]: on the no-gap fast path
+    * the single block IS the whole text, whose stripped lines are exactly
+    * `shared.stripped` (strip only trims the text's ends; boundary-line
+    * trims happen per-line anyway, and empty lines are skipped by the
+    * block loop) — so the text is not re-split and not re-stripped. */
+  private def parseStructuredTextShared(shared: SharedLines): Seq[Item] =
+    parseStructuredTextImpl(shared.text, shared)
+
+  private def parseStructuredTextImpl(text: String, shared: SharedLines): Seq[Item] = {
+    if (shared != null && !Patterns.hasPyBlockGap(text)) {
+      if (!shared.stripped.exists(_.nonEmpty)) Nil // block.strip() empty
+      else parseStructuredLines(shared.stripped)
+        .map(_.copy(source = "structured_text", confidence = 0.9)).toSeq
+    } else {
+      val blocks =
+        if (!Patterns.hasPyBlockGap(text)) Array(text)
+        else Patterns.blockSplit.split(text, -1)
+      blocks.toIndexedSeq.filter(_.pyStrip.nonEmpty).flatMap { block =>
+        parseStructuredBlock(block).map(_.copy(source = "structured_text", confidence = 0.9))
+      }
     }
   }
 
-  private def parseStructuredBlock(block: String): Option[Item] = {
+  private def parseStructuredBlock(block: String): Option[Item] =
+    parseStructuredLines(block.pyStrip.split("\n", -1).map(_.pyStrip))
+
+  // R14 key-synonym lists hoisted out of the per-line loop (a Seq literal
+  // in the loop body allocates a fresh List per line)
+  private val kName = Seq("наименование", "название", "товар")
+  private val kQty = Seq("количество", "кол-во", "кол", "объем")
+  private val kUnit = Seq("единица", "ед.изм", "ед")
+  private val kPrice = Seq("цена", "стоимость", "тариф")
+  private val kCurrency = Seq("валюта", "currency")
+  private val kTotal = Seq("сумма", "итого", "стоимость", "общая")
+  private val kSupplier = Seq("поставщик", "supplier", "компания")
+
+  /** Core of the R14 block parser over pre-stripped lines. */
+  private def parseStructuredLines(strippedLines: Array[String]): Option[Item] = {
     var name: Option[String] = None
     var qty: Option[Option[Double]] = None   // outer = key present, inner = parsed value
     var unit: Option[String] = None
@@ -158,19 +196,18 @@ object CompetitiveParser {
     var currency: Option[String] = None
     var total: Option[Option[Double]] = None
     var supplier: Option[String] = None
-    block.pyStrip.split("\n", -1).foreach { raw =>
-      val line = raw.pyStrip
+    strippedLines.foreach { line =>
       if (line.nonEmpty && line.contains(":")) {
         val Array(k, v) = line.split(":", 2)
         val key = Py.lower(k.pyStrip)
         val value = v.pyStrip
-        if (Seq("наименование", "название", "товар").exists(key.contains)) name = Some(value)
-        else if (Seq("количество", "кол-во", "кол", "объем").exists(key.contains)) qty = Some(Num.parse(value))
-        else if (Seq("единица", "ед.изм", "ед").exists(key.contains)) unit = Some(value)
-        else if (Seq("цена", "стоимость", "тариф").exists(key.contains)) price = Some(Num.parse(value))
-        else if (Seq("валюта", "currency").exists(key.contains)) currency = Some(value)
-        else if (Seq("сумма", "итого", "стоимость", "общая").exists(key.contains)) total = Some(Num.parse(value))
-        else if (Seq("поставщик", "supplier", "компания").exists(key.contains)) supplier = Some(value)
+        if (kName.exists(key.contains)) name = Some(value)
+        else if (kQty.exists(key.contains)) qty = Some(Num.parse(value))
+        else if (kUnit.exists(key.contains)) unit = Some(value)
+        else if (kPrice.exists(key.contains)) price = Some(Num.parse(value))
+        else if (kCurrency.exists(key.contains)) currency = Some(value)
+        else if (kTotal.exists(key.contains)) total = Some(Num.parse(value))
+        else if (kSupplier.exists(key.contains)) supplier = Some(value)
       }
     }
     if (name.isDefined && qty.isDefined && price.isDefined) {

@@ -85,7 +85,7 @@ object InvoiceParser {
     table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
       if (rowIdx == 0) None
       else {
-        val values = rowValues(row)
+        val values = table.rowVals(rowIdx)
         if (values.length >= 5)
           try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None }
         else None

@@ -56,7 +56,78 @@ object Num {
     catch { case _: NumberFormatException => None }
   }
 
+  /**
+   * Exact fast path for pure-ASCII `[0-9., space -]` inputs — the
+   * overwhelming majority of table cells and numeric tokens. Within this
+   * character set the full pipeline reduces to: trim spaces, apply the
+   * comma rule (afterLen counted BEFORE space removal, like the slow
+   * path), drop spaces, parseDouble; all-digit results <= 15 chars parse
+   * as an exact Long (< 2^53, so Long->Double conversion is exact and
+   * identical to parseDouble). Verified equal to the slow path over NumSpec
+   * vectors, the q02 DuckDB oracle and the reference-parity sweeps.
+   */
+  private def parseAsciiFast(raw: String): Option[Double] = {
+    var a = 0
+    var b = raw.length
+    while (a < b && raw.charAt(a) == ' ') a += 1
+    while (b > a && raw.charAt(b - 1) == ' ') b -= 1
+    if (a >= b) return None
+    var commas = 0
+    var dots = 0
+    var lastComma = -1
+    var i = a
+    while (i < b) {
+      val c = raw.charAt(i)
+      if (c == ',') { commas += 1; lastComma = i }
+      else if (c == '.') dots += 1
+      i += 1
+    }
+    val commaToDot = commas == 1 && dots == 0 && (b - lastComma - 1) <= 2
+    val buf = new Array[Char](b - a)
+    var len = 0
+    var allDigits = true
+    i = a
+    while (i < b) {
+      val c = raw.charAt(i)
+      if (c == ' ') ()
+      else if (c == ',') { if (commaToDot) { buf(len) = '.'; len += 1; allDigits = false } }
+      else {
+        buf(len) = c
+        len += 1
+        if (c < '0' || c > '9') allDigits = false
+      }
+      i += 1
+    }
+    if (len == 0) return None
+    if (allDigits && len <= 15) {
+      var v = 0L
+      var j = 0
+      while (j < len) { v = v * 10 + (buf(j) - '0'); j += 1 }
+      return Some(v.toDouble)
+    }
+    try Some(java.lang.Double.parseDouble(new String(buf, 0, len)))
+    catch { case _: NumberFormatException => None }
+  }
+
   def parse(raw: String): Option[Double] = {
+    if (raw == null) return None
+    val n = raw.length
+    if (n > 0) {
+      var i = 0
+      var ascii = true
+      while (ascii && i < n) {
+        val c = raw.charAt(i)
+        ascii = (c >= '0' && c <= '9') || c == '.' || c == ',' || c == ' ' || c == '-'
+        i += 1
+      }
+      if (ascii) return parseAsciiFast(raw)
+    }
+    parseSlow(raw)
+  }
+
+  /** The general pipeline (kept reachable for the fast-vs-slow differential
+    * in NumSpec). */
+  private[graft] def parseSlow(raw: String): Option[Double] = {
     if (raw == null) return None
     var s = Py.pyStrip(raw)
     s = Patterns.cachedMatcher(nonNumeric, s).replaceAll("")

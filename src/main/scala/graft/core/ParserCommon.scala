@@ -69,15 +69,36 @@ object ParserCommon {
     * @param clean whether to apply the [^\w\s]->space cleanup first */
   def mapBySynonyms(header: IndexedSeq[Option[String]],
                     fields: Seq[(String, Seq[String])],
-                    clean: Boolean): mutable.LinkedHashMap[String, Int] = {
+                    clean: Boolean): mutable.LinkedHashMap[String, Int] =
+    mapBySynonymsKeys(
+      if (clean) header.map(c => Py.cleanColName(Py.pyStr(c)))
+      else header.map(c => Py.pyStrip(Py.lower(Py.pyStr(c)))),
+      fields)
+
+  /** [[mapBySynonyms]] over a [[Tab]], reusing its cached per-column keys
+    * (several parsers recompute identical header cleanups per turn). */
+  def mapBySynonyms(table: Tab, fields: Seq[(String, Seq[String])],
+                    clean: Boolean): mutable.LinkedHashMap[String, Int] =
+    mapBySynonymsKeys(if (clean) table.headerClean else table.headerLower, fields)
+
+  /** Lowered synonym lists, memoized per fields value (the reference lowers
+    * each synonym at use — `syn.lower() in col_str` — which in the hot loop
+    * re-lowercases static data per column). */
+  private val loweredFieldsCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, Seq[String])], Seq[(String, Seq[String])]]()
+  private def loweredFields(fields: Seq[(String, Seq[String])]): Seq[(String, Seq[String])] =
+    loweredFieldsCache.computeIfAbsent(fields,
+      f => f.map { case (k, syns) => (k, syns.map(Py.lower)) })
+
+  private def mapBySynonymsKeys(cols: IndexedSeq[String],
+                                fields: Seq[(String, Seq[String])]): mutable.LinkedHashMap[String, Int] = {
+    val lf = loweredFields(fields)
     val mapping = mutable.LinkedHashMap.empty[String, Int]
-    header.zipWithIndex.foreach { case (col, idx) =>
-      val raw = Py.lower(Py.pyStr(col)).pyStrip
-      val colStr = if (clean) Py.cleanColName(Py.pyStr(col)) else raw
+    cols.zipWithIndex.foreach { case (colStr, idx) =>
       var break_ = false
-      fields.foreach { case (field, synonyms) =>
+      lf.foreach { case (field, synonyms) =>
         if (!break_) {
-          if (synonyms.exists(s => colStr.contains(Py.lower(s)))) mapping(field) = idx
+          if (synonyms.exists(colStr.contains)) mapping(field) = idx
           if (mapping.contains(field)) break_ = true
         }
       }

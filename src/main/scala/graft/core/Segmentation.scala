@@ -16,7 +16,9 @@ import scala.collection.mutable
  */
 object Segmentation {
 
-  private val cellGap = "\\s{2,}"
+  // precompiled: String.split(String) recompiles a multi-char regex on
+  // EVERY call — this runs once per tabular line per turn
+  private val cellGap = java.util.regex.Pattern.compile("\\s{2,}")
 
   final case class Segmented(lines: IndexedSeq[String], blocks: IndexedSeq[String], tables: IndexedSeq[Tab])
 
@@ -123,7 +125,7 @@ object Segmentation {
     val t = line.strip()
     if (t.isEmpty) return singleNone
     if (!hasCellGap(t)) return IndexedSeq(Some(t))
-    t.split(cellGap, -1).toIndexedSeq.map { c =>
+    cellGap.split(t, -1).toIndexedSeq.map { c =>
       val s = c.strip()
       if (s.isEmpty) None else Some(s)
     }

@@ -18,6 +18,18 @@ import java.util.regex.Pattern
  */
 final case class Tab(header: IndexedSeq[Option[String]], rows: IndexedSeq[IndexedSeq[Option[String]]]) {
   def nCols: Int = header.length
+  /** Per-row `rowValues` cache: four parsers' content fallbacks recompute
+    * the identical non-null/strip/filter pass over the same rows — pure
+    * reuse, zero semantic change (rowValues is a pure function). */
+  lazy val rowVals: IndexedSeq[IndexedSeq[String]] = rows.map(ParserCommon.rowValues)
+  /** `lower(str(col)).strip()` per header column — the clean=false synonym
+    * key; recomputed identically by several parsers per turn. */
+  lazy val headerLower: IndexedSeq[String] =
+    header.map(c => Py.pyStrip(Py.lower(Py.pyStr(c))))
+  /** `cleanColName(str(col))` per header column — the clean=true synonym
+    * key (regex cleanup + token join, the expensive one). */
+  lazy val headerClean: IndexedSeq[String] =
+    header.map(c => Py.cleanColName(Py.pyStr(c)))
 }
 
 /** Python-semantics string helpers (Unicode classes, casefolding).
@@ -48,25 +60,40 @@ object Py {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
+  private val emptyStrArray = new Array[String](0)
+
   /** Python str.split() (no argument): split on runs of str-whitespace,
-    * no empty tokens. Hand-rolled over a cached matcher — Pattern.split
-    * allocates a fresh Matcher plus an ArrayList per call; after pyStrip
-    * no separator run can touch either end, so every piece is nonempty. */
+    * no empty tokens. Hand-rolled two-pass char scan over [[isPySpace]] —
+    * the same set as the `[\s\x1c-\x1f]` UNICODE class used elsewhere
+    * (guarded by the exotic-whitespace parity corpus) — so the only
+    * allocations are the exact-size result array and the token substrings
+    * (a regex split pays a matcher reset + growable buffer + copy). */
   def pySplit(s: String): Array[String] = {
     val t = pyStrip(s)
-    if (t.isEmpty) return Array.empty
-    val m = Patterns.cachedMatcher(wsRun, t)
-    if (!m.find()) return Array(t)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var start = 0
-    var more = true
-    while (more) {
-      out += t.substring(start, m.start)
-      start = m.end()
-      more = m.find()
+    val len = t.length
+    if (len == 0) return emptyStrArray
+    var i = 0
+    var count = 0
+    var inTok = false
+    while (i < len) {
+      if (!isPySpace(t.charAt(i))) { if (!inTok) { count += 1; inTok = true } }
+      else inTok = false
+      i += 1
     }
-    out += t.substring(start)
-    out.toArray
+    if (count == 1) return Array(t) // stripped, so a single token IS t
+    val out = new Array[String](count)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if (!isPySpace(t.charAt(i))) {
+        var j = i + 1
+        while (j < len && !isPySpace(t.charAt(j))) j += 1
+        out(k) = t.substring(i, j)
+        k += 1
+        i = j
+      } else i += 1
+    }
+    out
   }
 
   implicit final class PyStringOps(private val s: String) extends AnyVal {

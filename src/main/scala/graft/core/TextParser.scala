@@ -24,7 +24,7 @@ object TextParser {
 
   private def parseTable(table: Tab, tableIdx: Int): Seq[Item] = {
     try {
-      val mapping = mapBySynonyms(table.header, Rules.textColumnPatterns, clean = false)
+      val mapping = mapBySynonyms(table, Rules.textColumnPatterns, clean = false)
       // require name + >=2 fields (parser.py:147)
       if (mapping.contains("name") && mapping.size >= 2)
         parseWithMapping(table, mapping.toMap, tableIdx)

@@ -25,7 +25,7 @@ object UniversalCoreParser {
 
   private def parseTable(table: Tab, tableIdx: Int): Seq[Item] =
     try {
-      val bySyn = mapBySynonyms(table.header, Rules.universalColumnSynonyms, clean = true).toMap
+      val bySyn = mapBySynonyms(table, Rules.universalColumnSynonyms, clean = true).toMap
       val mapping: Map[String, Int] =
         if (bySyn.contains("name") && bySyn.size >= 2) bySyn
         else byPositionUniversal(table)
@@ -96,7 +96,7 @@ object UniversalCoreParser {
     if (table.rows.length < 2) return Nil // table.shape[0] < 2 (data rows)
     (1 until math.min(6, table.rows.length)).flatMap { rowIdx =>
       try {
-        val values = rowValues(table.rows(rowIdx))
+        val values = table.rowVals(rowIdx)
         if (values.length < 3) None
         else analyzeRowStructure(values, tableIdx, rowIdx)
       } catch { case _: Exception => None }

@@ -68,6 +68,26 @@ class NumSpec extends AnyFunSuite {
     }
   }
 
+  test("property: ASCII fast path is bit-identical to the general pipeline") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "0123456789.,- " // exactly the fast-path character set
+    (1 to 30000).foreach { _ =>
+      val s = (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val fast = graft.core.Num.parse(s)
+      val slow = graft.core.Num.parseSlow(s)
+      assert(fast == slow, s"'$s': fast=$fast slow=$slow")
+      // bit-identical doubles, not just ==
+      assert(fast.map(java.lang.Double.doubleToRawLongBits) ==
+        slow.map(java.lang.Double.doubleToRawLongBits), s"'$s' bits differ")
+    }
+    // targeted edges: long digit runs (Long fast path boundary), signs, dots
+    Seq("999999999999999", "1000000000000000", "00000000000000007",
+        "-", ".", ",", " , ", "5.", ".5", "-0", "1-2", "--5", "12,", ",5",
+        "1,2,3", "1.2.3", "1 2 3", "12 , 34", "  42  ").foreach { s =>
+      assert(graft.core.Num.parse(s) == graft.core.Num.parseSlow(s), s)
+    }
+  }
+
   test("property: never throws on arbitrary junk") {
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789.,- абвгдABC \t\n₽руб"
