@@ -72,6 +72,22 @@ object Bench {
       grab("ENGINE_RESULT"), grab("ENGINE_SMALL"))
   }
 
+  /** Deterministic allocation rate of the per-turn engine (ThreadMXBean —
+    * robust to host CPU jitter, unlike wall time): the input for the
+    * memory-bandwidth ceiling analysis in BASELINE.md. */
+  private def allocBytesPerTurn(): Double = {
+    val texts = (0L until 2000L).map(id => graft.io.Transcripts.payload(42L, id)).toArray
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    var i = 0
+    while (i < 2000) { graft.core.Engine.parseTurn("c", 0, texts(i % texts.length)); i += 1 }
+    val a0 = mx.getCurrentThreadAllocatedBytes
+    i = 0
+    val n = 4000
+    while (i < n) { graft.core.Engine.parseTurn("c", 0, texts(i % texts.length)); i += 1 }
+    (mx.getCurrentThreadAllocatedBytes - a0).toDouble / n
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -161,6 +177,24 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-round (widely-spaced window) engine-thread ceiling samples: the
+    // evidence that the normalized number is stable, not a lucky window.
+    // Each window is measured back-to-back inside that round's big pinned
+    // JVM; the spacing between rounds is the full small+big extraction
+    // protocol (minutes), which is what defends against host-delivery drift.
+    val engWindows = rounds.map(_._2)
+      .filter(r => r.engineSmallOps > 0 && r.engineOps > 0)
+      .map(r => (r.engineSmallOps, r.engineOps,
+        math.min(1.0, r.engineOps / (r.engineSmallOps * factor))))
+    val engWindowsJson = engWindows
+      .map { case (s, b, e) => f"""{"small_ops":$s%.0f,"big_ops":$b%.0f,"eff":$e%.3f}""" }
+      .mkString("[", ",", "]")
+    val allocPerTurn = allocBytesPerTurn()
+    // allocation bandwidth demanded at the big config if it scaled
+    // perfectly: throughput * bytes/turn (young-gen copying roughly
+    // doubles the true bus traffic) — compare with a single socket's
+    // practical memory bandwidth in BASELINE.md
+    val allocGbps = thrBig * allocPerTurn / 1e9
     val scaling =
       f"""{"cores_small":$small,"cores_big":$cpus,"turns":$scalingTurns,""" +
       f""""sec_small":${rSmall.bestSec}%.3f,"sec_big":${rBig.bestSec}%.3f,""" +
@@ -168,6 +202,9 @@ object Bench {
       f""""efficiency":$efficiency%.3f,""" +
       f""""machine_ceiling_efficiency":$ceilingEff%.3f,""" +
       f""""engine_thread_efficiency":$engineEff%.3f,""" +
+      f""""engine_windows":$engWindowsJson,""" +
+      f""""alloc_bytes_per_turn":$allocPerTurn%.0f,""" +
+      f""""alloc_gb_per_sec_at_big":$allocGbps%.2f,""" +
       f""""efficiency_vs_ceiling":$normalizedEff%.3f}"""
     val totalS = f"$total%.3f"
     val thrS = f"$thrBig%.1f"

@@ -248,6 +248,51 @@ object SparkEntry {
       |SELECT p_partkey, rank, cand_id, score, score >= 90.0 AS is_auto
       |FROM ranked WHERE rank <= 3 AND score >= 40.0""".stripMargin
 
+  // ---- J1 (blocked variant): token-blocking equi-join before scoring ------
+  // The large-catalog matcher shape (graft.matching.Matching.topMatchesBlocked)
+  // with the SQL-expressible levenshtein-ratio scorer so DuckDB can replicate
+  // the whole chain: explode lowercase alnum tokens, equi-join, score only
+  // co-blocked pairs, per-item top-k.
+  private def qBlockedMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cands = candidateProducts.toDF("cand_id", "cand_name")
+    val parts = t(spark, dir, "part").select("p_partkey", "p_name")
+    def toks(c: Column): Column = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+    val pTok = parts.withColumn("tok", explode(toks(col("p_name"))))
+    val cTok = cands.withColumn("tok", explode(toks(col("cand_name"))))
+    val blocked = pTok.join(broadcast(cTok), Seq("tok"))
+      .select("p_partkey", "p_name", "cand_id", "cand_name").distinct()
+    val la = lower(col("p_name")); val lb = lower(col("cand_name"))
+    val score = lit(100.0) * (lit(1.0) - levenshtein(la, lb).cast("double") /
+      greatest(length(la), length(lb)).cast("double"))
+    val w = Window.partitionBy("p_partkey").orderBy(desc("score"), asc("cand_id"))
+    blocked.withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3 && col("score") >= 40.0)
+      .select("p_partkey", "rank", "cand_id", "score")
+  }
+
+  private val oBlockedMatch =
+    """WITH cands(cand_id, cand_name) AS (VALUES
+      |  (1,'small widget'), (2,'large bolt'), (3,'economy gadget'),
+      |  (4,'standard fitting'), (5,'promo anodized tube'), (6,'cold rolled steel')),
+      |pt AS (SELECT p_partkey, p_name,
+      |  unnest(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x != '')) AS tok
+      |  FROM part),
+      |ct AS (SELECT cand_id, cand_name,
+      |  unnest(list_filter(string_split_regex(lower(cand_name), '[^a-z0-9]+'), x -> x != '')) AS tok
+      |  FROM cands),
+      |blocked AS (SELECT DISTINCT p_partkey, p_name, cand_id, cand_name
+      |            FROM pt JOIN ct USING (tok)),
+      |scored AS (SELECT p_partkey, cand_id,
+      |    100.0 * (1.0 - levenshtein(lower(p_name), lower(cand_name)) /
+      |      greatest(len(lower(p_name)), len(lower(cand_name)))::DOUBLE) AS score
+      |  FROM blocked),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+      |    ORDER BY score DESC, cand_id) AS rank FROM scored)
+      |SELECT p_partkey, rank, cand_id, score FROM ranked
+      |WHERE rank <= 3 AND score >= 40.0""".stripMargin
+
   // ---- dedup: exact --------------------------------------------------------
   private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
@@ -602,6 +647,21 @@ object SparkEntry {
         (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
   }
 
+  /** The salted (time-bucketed) as-of variant on the same inputs — output
+    * must equal the plain as-of, so it shares q39's DuckDB ASOF oracle. */
+  private def qAsofSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.relational.AsOf.asofJoinSalted(purchases, clicks, "user_id", "ts",
+        Seq("ts", "value"), bucketWidthUs = 6L * 3600000000L)
+      .select(col("event_id"), col("user_id"), col("purchase_value"),
+        col("asof_value").as("click_value"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+  }
+
   private val oAsofJoin =
     """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
       |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
@@ -854,7 +914,9 @@ object SparkEntry {
     "q37_contamination" -> (qContamination _),
     "q38_boilerplate" -> (qBoilerplate _),
     "q39_asof_join" -> (qAsofJoin _),
-    "q40_range_join" -> (qRangeJoin _))
+    "q40_range_join" -> (qRangeJoin _),
+    "q41_blocked_match" -> (qBlockedMatch _),
+    "q42_asof_salted" -> (qAsofSalted _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -896,7 +958,9 @@ object SparkEntry {
     "q29_running_sum" -> oRunningSum,
     "q31_dedup_clusters" -> oDedupClusters,
     "q32_quality_score" -> oQuality,
-    "q33_det_sample" -> oSample)
+    "q33_det_sample" -> oSample,
+    "q41_blocked_match" -> oBlockedMatch,
+    "q42_asof_salted" -> oAsofJoin)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

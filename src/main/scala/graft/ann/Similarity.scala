@@ -95,12 +95,14 @@ object Similarity {
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                    nPlanes: Int = 12, threshold: Double = 0.9,
                    maxBucket: Int = 10000): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // window count over the bucket key: one shuffle, no second pass over
+    // the bucket-id expression; oversized/singleton buckets are dropped
+    // before the self-join (the count pass spills, never OOMs)
+    val vv = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planeWeights(nPlanes, dim)))
-    val ok = v.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
       .where(col("__n").between(2, maxBucket))
-      .select("bucket")
-    val vv = v.join(ok, Seq("bucket"), "left_semi")
+      .drop("__n")
     val a = vv.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = vv.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))

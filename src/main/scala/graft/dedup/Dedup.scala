@@ -129,14 +129,17 @@ object Dedup {
     * bucket that large is a degenerate collision class, not a near-dup
     * set. */
   private def pairsWithinBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // pre-count bucket sizes and semi-join oversized buckets OUT before the
-    // collect_list pass: the count is a cheap map-side-combinable aggregate,
-    // so a degenerate bucket never materializes in one aggregation buffer —
-    // the cap bounds aggregation memory, not just pair emission
-    val ok = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    // bucket sizes via a window over the SAME key as the grouping: one
+    // shuffle total (the groupBy reuses the window's hash partitioning),
+    // one pass over the input (a semi-join pre-count would recompute the
+    // signature expression for both passes), and oversized buckets are
+    // dropped BEFORE collect_list materializes them — the window's count
+    // pass buffers with spill (UnsafeExternalSorter), so a degenerate
+    // bucket costs disk, never an aggregation-buffer OOM
+    val wb = Window.partitionBy("band", "bucket")
+    val grouped = banded
+      .withColumn("__n", count(lit(1)).over(wb))
       .where(col("__n").between(2, maxBucket))
-      .select("band", "bucket")
-    val grouped = banded.join(ok, Seq("band", "bucket"), "left_semi")
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -250,12 +253,12 @@ object Dedup {
     val sigs = simhashBlocks(df, idCol, textCol)
     val banded = sigs.select(col(idCol).as("id"), col("blocks"),
       posexplode(col("blocks")).as(Seq("block", "block_val")))
-    // same pre-count guard as pairsWithinBuckets: oversized buckets are
-    // excluded BEFORE collect_list materializes them
-    val ok = banded.groupBy("block", "block_val").agg(count(lit(1)).as("__n"))
+    // same single-shuffle window-count guard as pairsWithinBuckets:
+    // oversized buckets are excluded BEFORE collect_list materializes them
+    val wb = Window.partitionBy("block", "block_val")
+    val grouped = banded
+      .withColumn("__n", count(lit(1)).over(wb))
       .where(col("__n").between(2, maxBucket))
-      .select("block", "block_val")
-    val grouped = banded.join(ok, Seq("block", "block_val"), "left_semi")
       .groupBy("block", "block_val")
       .agg(sort_array(collect_list(struct(col("id"), col("blocks")))).as("ms"))
     grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
@@ -292,10 +295,11 @@ object Dedup {
     val nbrs = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+    // no distinct here: duplicate edges are harmless to the min aggregates
+    // and smallStar's final distinct dedups the round's output
     nbrs.join(mins, Seq("u"))
       .where(col("v") > col("u"))
       .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
-      .distinct()
   }
 
   /** Small-star step: every node links itself and all its smaller
@@ -322,12 +326,27 @@ object Dedup {
    * ContextCleaner once dereferenced. Convergence = the oriented edge set
    * reaches its fixed point (stars rooted at component minima).
    */
-  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
-    dedupClustersWithRounds(pairs, maxRounds)._1
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50,
+                    driverCap: Long = 2000000L): DataFrame =
+    dedupClustersWithRounds(pairs, maxRounds, driverCap)._1
 
-  /** [[dedupClusters]] exposing the converged round count (for tests). */
-  private[graft] def dedupClustersWithRounds(pairs: DataFrame,
-                                             maxRounds: Int = 50): (DataFrame, Int) = {
+  /**
+   * [[dedupClusters]] exposing the converged round count (for tests).
+   *
+   * Two regimes, both exact:
+   *  - edge sets up to `driverCap` (with integral ids) are solved by
+   *    union-find on the driver — the verified-duplicate EDGE set is
+   *    orders of magnitude smaller than the corpus, and one bounded
+   *    collect (<= ~32 MB at the default cap) replaces O(log n) rounds of
+   *    tiny-data shuffles whose per-job scheduling would dominate. The
+   *    same working-set argument as the IVF coarse quantizer: the collect
+   *    is capped and independent of corpus size.
+   *  - beyond the cap (or for non-integral ids), alternating large-star /
+   *    small-star contraction runs fully distributed. SparkSpec asserts
+   *    the two paths agree.
+   */
+  private[graft] def dedupClustersWithRounds(pairs: DataFrame, maxRounds: Int = 50,
+                                             driverCap: Long = 2000000L): (DataFrame, Int) = {
     val nodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .distinct().localCheckpoint()
@@ -338,11 +357,22 @@ object Dedup {
       .distinct().localCheckpoint()
     var converged = false
     var rounds = 0
+    var prevCount = edges.count()
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && prevCount <= driverCap)
+      return (unionFindLabels(nodes, edges), 0)
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // both sets are distinct, so equality == same count + empty anti-join
-      converged = next.count() == edges.count() &&
+      // both sets are distinct, so equality == same count + empty anti-join;
+      // the anti-join only runs when the counts already match (usually the
+      // one final round), so the steady-state check is a single cheap count
+      // over checkpointed blocks
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      prevCount = nextCount
       edges = next
       rounds += 1
     }
@@ -358,6 +388,34 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("mn"), col("id")).as("cluster_id"))
     (labels, rounds)
+  }
+
+  /** Exact min-label connected components on the driver: union-find with
+    * path compression, roots kept at the component minimum (union always
+    * attaches the larger root under the smaller), so find(x) IS the
+    * component's min id. Only reached under `driverCap` with integral ids. */
+  private def unionFindLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var x = x0
+      while (parent.get(x) != r) { val nxt = parent.get(x); parent.put(x, r); x = nxt }
+      r
+    }
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    edges.collect().foreach { row =>
+      val u = row.get(0).asInstanceOf[Number].longValue
+      val v = row.get(1).asInstanceOf[Number].longValue
+      add(u); add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+    }
+    val allNodes = nodes.collect().map(_.get(0).asInstanceOf[Number].longValue)
+    allNodes.foreach(add)
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    allNodes.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
   }
 
   /** First-wins dedup window (A1 at corpus level): one row per key, winner =

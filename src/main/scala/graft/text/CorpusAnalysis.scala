@@ -78,14 +78,16 @@ object CorpusAnalysis {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, benchOutOf256: Int = 16,
                     maxDf: Int = 10000): DataFrame = {
-    val shAll = df.select(col(idCol).as("doc_id"),
+    // shingles are per-doc distinct, so rows per hash == docs containing
+    // it; the df guard is a window count over the hash — ONE shuffle that
+    // the downstream h-keyed join reuses, instead of a semi-join that
+    // would recompute the shingle explosion twice
+    val sh = df.select(col(idCol).as("doc_id"),
         explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
       .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
-    // shingles are per-doc distinct, so rows per hash == docs containing it
-    val okH = shAll.groupBy("h").agg(count(lit(1)).as("__df"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("__df") <= maxDf)
-      .select("h")
-    val sh = shAll.join(okH, Seq("h"), "left_semi")
+      .drop("__df")
     val bound = f"$benchOutOf256%02x"
     val bench = sh.where(substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
       .select(col("doc_id").as("bench_id"), col("h"))

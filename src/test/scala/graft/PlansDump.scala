@@ -71,6 +71,46 @@ object PlansDump {
       "persist); pairs come from a single groupBy (band, bucket) Exchange.") {
       SparkEntry.queries("q21_minhash_candidates")(spark, dir).explain("formatted")
     }
+    section("q25 ANN sign-LSH pairs (capped bucket join)",
+      "The bucket-count prefilter (groupBy bucket -> HAVING between 2 and " +
+      "maxBucket -> left_semi) runs BEFORE the in-bucket self-join, so a " +
+      "degenerate hot bucket is excluded instead of exploding quadratically; " +
+      "singleton buckets never enter the join either.") {
+      SparkEntry.queries("q25_ann_lsh")(spark, dir).explain("formatted")
+    }
+    section("q37 contamination (document-frequency-capped shingle join)",
+      "Shingle hashes with corpus df above the cap are semi-joined out " +
+      "before the bench join — a boilerplate 8-gram shared by millions of " +
+      "docs never becomes a hot join key. Both sides of the join read the " +
+      "capped set.") {
+      SparkEntry.queries("q37_contamination")(spark, dir).explain("formatted")
+    }
+    section("Token-blocked fuzzy matcher (equi-join before scoring)",
+      "Items and products equi-join on shared preprocessed tokens " +
+      "(broadcast on the exploded dim) and only co-blocked pairs reach the " +
+      "WRatio UDF — the large-catalog alternative to the reference's " +
+      "all-pairs scoring, output-equal when every above-threshold pair " +
+      "shares a token (SparkSpec asserts it).") {
+      val items = Pipeline.extractItems(turns).select("conv_id", "turn_idx", "item_idx", "name")
+      graft.matching.Matching.topMatchesBlocked(items,
+        graft.io.Transcripts.productsDim(spark),
+        Seq("conv_id", "turn_idx", "item_idx")).explain("formatted")
+    }
+    section("Salted as-of join (hot key spread over time buckets)",
+      "The window partitions on (key, time-bucket) instead of key alone; " +
+      "carry-in rows come from a window over the tiny per-(key,bucket) " +
+      "summary, so a hot key parallelizes across its buckets with no " +
+      "correctness loss (SparkSpec asserts equality with the plain as-of).") {
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.relational.AsOf.asofJoinSalted(purchases, clicks, "user_id", "ts",
+        Seq("ts", "value"), bucketWidthUs = 3600000000L).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()

@@ -278,12 +278,19 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // plus a second component and a triangle to check labeling
     val other = Seq((200L, 201L), (201L, 202L), (200L, 202L))
     val pairs = (path ++ other).toDF("id_a", "id_b")
-    val (labels, rounds) = graft.dedup.Dedup.dedupClustersWithRounds(pairs, maxRounds = 15)
+    // driverCap = 0 forces the DISTRIBUTED star-contraction path
+    val (labels, rounds) = graft.dedup.Dedup.dedupClustersWithRounds(
+      pairs, maxRounds = 15, driverCap = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rounds <= 15, s"took $rounds rounds")
+    assert(rounds <= 15 && rounds > 0, s"took $rounds rounds")
     assert((0L to 100L).forall(got(_) == 0L))
     assert(Seq(200L, 201L, 202L).forall(got(_) == 200L))
     assert(got.size == 104)
+    // the bounded driver union-find fast path must agree exactly
+    val (fast, fastRounds) = graft.dedup.Dedup.dedupClustersWithRounds(pairs, maxRounds = 15)
+    assert(fastRounds == 0)
+    val gotFast = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFast == got)
   }
 
   test("as-of join returns the true as-of row's null payload, from one right row") {
