@@ -29,7 +29,8 @@ object Bench {
   }
 
   final case class PinnedResult(bestSec: Double, ceilingOps: Double, ceilingSmallOps: Double,
-                                engineOps: Double, engineSmallOps: Double)
+                                engineOps: Double, engineSmallOps: Double,
+                                membwGbps: Double, membwSmallGbps: Double)
 
   /** Run [[ScalingRunner]] in a child JVM pinned to `cpus` CPUs (taskset):
     * the honest N-core-executor emulation — see ScalingRunner scaladoc.
@@ -68,8 +69,12 @@ object Bench {
     def grab(tag: String): Double =
       (tag + " cpus=\\d+ ops_per_sec=([0-9.]+)").r
         .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
+    def grabBw(tag: String): Double =
+      (tag + " cpus=\\d+ gbps=([0-9.]+)").r
+        .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(0.0)
     PinnedResult(best, grab("CEILING_RESULT"), grab("CEILING_SMALL"),
-      grab("ENGINE_RESULT"), grab("ENGINE_SMALL"))
+      grab("ENGINE_RESULT"), grab("ENGINE_SMALL"),
+      grabBw("MEMBW_RESULT"), grabBw("MEMBW_SMALL"))
   }
 
   /** Deterministic allocation rate of the per-turn engine (ThreadMXBean —
@@ -177,18 +182,40 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // per-round (widely-spaced window) engine-thread ceiling samples: the
-    // evidence that the normalized number is stable, not a lucky window.
-    // Each window is measured back-to-back inside that round's big pinned
-    // JVM; the spacing between rounds is the full small+big extraction
-    // protocol (minutes), which is what defends against host-delivery drift.
-    val engWindows = rounds.map(_._2)
-      .filter(r => r.engineSmallOps > 0 && r.engineOps > 0)
-      .map(r => (r.engineSmallOps, r.engineOps,
-        math.min(1.0, r.engineOps / (r.engineSmallOps * factor))))
-    val engWindowsJson = engWindows
-      .map { case (s, b, e) => f"""{"small_ops":$s%.0f,"big_ops":$b%.0f,"eff":$e%.3f}""" }
-      .mkString("[", ",", "]")
+    // per-round (widely-spaced window) PAIRED samples: each round carries
+    // its own raw Spark efficiency, its own engine-thread ceiling and its
+    // own normalized ratio, all measured within minutes of each other —
+    // the evidence that the normalized number is stable across host-
+    // delivery drift, not a lucky pairing of a fast raw window with a
+    // slow ceiling window (dividing best-of-rounds raw by max-of-rounds
+    // ceiling systematically understates it).
+    val roundsJson = rounds.map { case (rs, rb) =>
+      val rawEff = math.min(1.0,
+        (scalingTurns / rb.bestSec) / ((scalingTurns / rs.bestSec) * factor))
+      val engEffR =
+        if (rb.engineSmallOps > 0 && rb.engineOps > 0)
+          math.min(1.0, rb.engineOps / (rb.engineSmallOps * factor))
+        else 0.0
+      val normR = if (engEffR > 0) math.min(1.0, rawEff / engEffR) else 0.0
+      f"""{"raw_eff":$rawEff%.3f,"engine_eff":$engEffR%.3f,"norm_eff":$normR%.3f,""" +
+        f""""engine_small_ops":${rb.engineSmallOps}%.0f,"engine_big_ops":${rb.engineOps}%.0f,""" +
+        f""""membw_small_gbps":${rb.membwSmallGbps}%.2f,"membw_big_gbps":${rb.membwGbps}%.2f}"""
+    }.mkString("[", ",", "]")
+    val normPerRound = rounds.map { case (rs, rb) =>
+      val rawEff = math.min(1.0,
+        (scalingTurns / rb.bestSec) / ((scalingTurns / rs.bestSec) * factor))
+      if (rb.engineSmallOps > 0 && rb.engineOps > 0)
+        math.min(1.0, rawEff / math.min(1.0, rb.engineOps / (rb.engineSmallOps * factor)))
+      else 0.0
+    }.filter(_ > 0).sorted
+    val normMedian =
+      if (normPerRound.isEmpty) 0.0 else normPerRound(normPerRound.length / 2)
+    // memory-bus saturation evidence: a pure streaming-read loop's
+    // aggregate GB/s at small vs big thread counts — if it stops growing,
+    // the socket is the bottleneck, not the engine or Spark
+    val bwSmall = rounds.map(_._2.membwSmallGbps).max
+    val bwBig = rounds.map(_._2.membwGbps).max
+    val bwScaling = if (bwSmall > 0) math.min(1.0, bwBig / (bwSmall * factor)) else 0.0
     val allocPerTurn = allocBytesPerTurn()
     // allocation bandwidth demanded at the big config if it scaled
     // perfectly: throughput * bytes/turn (young-gen copying roughly
@@ -202,7 +229,10 @@ object Bench {
       f""""efficiency":$efficiency%.3f,""" +
       f""""machine_ceiling_efficiency":$ceilingEff%.3f,""" +
       f""""engine_thread_efficiency":$engineEff%.3f,""" +
-      f""""engine_windows":$engWindowsJson,""" +
+      f""""rounds":$roundsJson,""" +
+      f""""norm_eff_median":$normMedian%.3f,""" +
+      f""""membw_small_gbps":$bwSmall%.2f,"membw_big_gbps":$bwBig%.2f,""" +
+      f""""membw_scaling":$bwScaling%.3f,""" +
       f""""alloc_bytes_per_turn":$allocPerTurn%.0f,""" +
       f""""alloc_gb_per_sec_at_big":$allocGbps%.2f,""" +
       f""""efficiency_vs_ceiling":$normalizedEff%.3f}"""

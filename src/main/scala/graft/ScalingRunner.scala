@@ -85,6 +85,40 @@ object ScalingRunner {
     threads * perThread / best
   }
 
+  /** Socket memory-bandwidth probe: `threads` streams each summing a
+    * disjoint 64 MiB long[] slice (sequential reads, no allocation, no
+    * sharing). If this loop's aggregate GB/s stops growing from N to 4N
+    * threads, the socket's memory bus is saturated — the direct physical
+    * evidence behind the scaling ceiling (a real 4N-node cluster brings
+    * 4x this resource, one VM does not). */
+  def memBandwidthGBps(threads: Int): Double = {
+    val perThreadLongs = (64 << 20) / 8
+    val arrays = Array.fill(threads)(new Array[Long](perThreadLongs))
+    arrays.foreach { a => var i = 0; while (i < a.length) { a(i) = i; i += 1 } }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    def run(passes: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          val a = arrays(t)
+          var acc = 0L
+          var p = 0
+          while (p < passes) {
+            var i = 0
+            while (i < a.length) { acc += a(i); i += 1 }
+            p += 1
+          }
+          sink.addAndGet(acc)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      threads.toDouble * perThreadLongs * 8L * passes / dt / 1e9
+    }
+    run(1) // warmup
+    (1 to 3).map(_ => run(4)).max
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val n = args(1).toLong
@@ -96,10 +130,13 @@ object ScalingRunner {
     if (ceilSmall > 0) {
       println(f"CEILING_SMALL cpus=$ceilSmall ops_per_sec=${ceilingOpsPerSec(ceilSmall)}%.0f")
       println(f"ENGINE_SMALL cpus=$ceilSmall ops_per_sec=${engineOpsPerSec(ceilSmall)}%.0f")
+      println(f"MEMBW_SMALL cpus=$ceilSmall gbps=${memBandwidthGBps(ceilSmall)}%.2f")
     }
     println(f"CEILING_RESULT cpus=$cpus ops_per_sec=${ceilingOpsPerSec(cpus)}%.0f")
-    if (ceilSmall > 0)
+    if (ceilSmall > 0) {
       println(f"ENGINE_RESULT cpus=$cpus ops_per_sec=${engineOpsPerSec(cpus)}%.0f")
+      println(f"MEMBW_RESULT cpus=$cpus gbps=${memBandwidthGBps(cpus)}%.2f")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

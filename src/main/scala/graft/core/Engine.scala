@@ -96,7 +96,9 @@ object Engine {
       supplier_id = profileRes.flatMap(r => Option(r.supplierId)).getOrElse(""),
       parser_stats = stats,
       best_items = best.items,
-      extracted_text = Segmentation.assembleFromBlocks(seg.blocks),
+      extracted_text =
+        if (seg.blocks.length <= 1) Segmentation.assembleSingleBlock(shared.raw)
+        else Segmentation.assembleFromBlocks(seg.blocks),
       blocks = seg.blocks,
       recommendations = recommendations(docType),
       grand_total_count = grandCount,

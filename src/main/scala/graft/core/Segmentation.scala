@@ -64,6 +64,26 @@ object Segmentation {
       b.split("\n", -1).map(_.strip()).filter(_.nonEmpty).mkString("\n")
     }.mkString("\n\n")
 
+  /** Fast assembly for turns whose block split produced <= 1 block (the
+    * overwhelming majority): with no inter-block "\n\n" separator to place,
+    * the assembled text is exactly the non-empty stripped raw lines joined
+    * with "\n" — identical to assembleFromBlocks (separator-consumed lines
+    * are all-whitespace, so they strip to empty and are filtered either
+    * way) without re-splitting the payload. */
+  def assembleSingleBlock(rawLines: Array[String]): String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < rawLines.length) {
+      val t = rawLines(i).strip()
+      if (!t.isEmpty) {
+        if (sb.length > 0) sb.append('\n')
+        sb.append(t)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** T3: whitespace-column table regions. A line is tabular when its trimmed
     * form splits into >=2 cells on runs of >=2 spaces; a run of >=2
     * consecutive tabular lines is a region. */

@@ -113,8 +113,22 @@ object Py {
   /** Python str.strip(). */
   def strip(s: String): String = pyStrip(s)
 
-  /** `_clean_name` (invoice_parser.py:413-420): \s+ -> ' ', \n+ -> ' ', strip. */
+  /** `_clean_name` (invoice_parser.py:413-420): \s+ -> ' ', \n+ -> ' ', strip.
+    * Fast path: a name whose only whitespace is single interior ASCII
+    * spaces is already in normal form — both regex passes and the strip
+    * are no-ops, so return it unchanged (the common case for table cells
+    * and regex-captured names). */
   def cleanName(name: String): String = {
+    var normal = name.length > 0 && name.charAt(0) != ' ' &&
+      name.charAt(name.length - 1) != ' '
+    var i = 0
+    while (normal && i < name.length) {
+      val c = name.charAt(i)
+      if (c == ' ') { if (i + 1 < name.length && name.charAt(i + 1) == ' ') normal = false }
+      else if (isPySpace(c)) normal = false
+      i += 1
+    }
+    if (normal) return name
     var n = Patterns.cachedMatcher(wsRun, name).replaceAll(" ")
     n = Patterns.cachedMatcher(nlRun, n).replaceAll(" ")
     pyStrip(n)
