@@ -201,6 +201,11 @@ object Bench {
         f""""engine_small_ops":${rb.engineSmallOps}%.0f,"engine_big_ops":${rb.engineOps}%.0f,""" +
         f""""membw_small_gbps":${rb.membwSmallGbps}%.2f,"membw_big_gbps":${rb.membwGbps}%.2f}"""
     }.mkString("[", ",", "]")
+    val rawPerRound = rounds.map { case (rs, rb) =>
+      math.min(1.0, (scalingTurns / rb.bestSec) / ((scalingTurns / rs.bestSec) * factor))
+    }.sorted
+    val rawMedian =
+      if (rawPerRound.isEmpty) 0.0 else rawPerRound(rawPerRound.length / 2)
     val normPerRound = rounds.map { case (rs, rb) =>
       val rawEff = math.min(1.0,
         (scalingTurns / rb.bestSec) / ((scalingTurns / rs.bestSec) * factor))
@@ -230,6 +235,7 @@ object Bench {
       f""""machine_ceiling_efficiency":$ceilingEff%.3f,""" +
       f""""engine_thread_efficiency":$engineEff%.3f,""" +
       f""""rounds":$roundsJson,""" +
+      f""""raw_eff_median":$rawMedian%.3f,""" +
       f""""norm_eff_median":$normMedian%.3f,""" +
       f""""membw_small_gbps":$bwSmall%.2f,"membw_big_gbps":$bwBig%.2f,""" +
       f""""membw_scaling":$bwScaling%.3f,""" +
