@@ -230,5 +230,5 @@ object ParserCommon {
 
   /** Service-row check on an item name. */
   def isServiceRow(name: String, words: Seq[String]): Boolean =
-    Py.containsAny(Py.lower(name), words)
+    Py.containsAnyLowered(name, words)
 }

@@ -51,7 +51,7 @@ object TableExtractor {
         table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
           try {
             val firstCell = if (row.nonEmpty) Py.pyStr(row(0)) else ""
-            if (Py.containsAny(Py.lower(firstCell), Rules.headerFirstCellTable)) None
+            if (Py.containsAnyLowered(firstCell, Rules.headerFirstCellTable)) None
             else extractItemFromRow(row, m, tableIdx, rowIdx)
               .filter(validateProduct(_, Rules.excludeWordsTableExtractor))
           } catch { case _: Exception => None }
@@ -59,35 +59,44 @@ object TableExtractor {
     }
   }
 
+  // string-field state: 0 = unmapped/out-of-range -> "", 1 = mapped cell
+  // was NaN -> null (table_extractor.py:196-197), 2 = value
   private def extractItemFromRow(row: IndexedSeq[Option[String]], m: Map[String, Int],
                                  tableIdx: Int, rowIdx: Int): Option[Item] = {
     try {
-      val f = mutable.Map.empty[String, Option[String]]
-      val nums = mutable.Map.empty[String, Option[Double]]
+      var nameV: String = null
+      var artState = 0; var artV: String = null
+      var unitState = 0; var unitV: String = null
+      var qty: Option[Double] = None
+      var price: Option[Double] = None
+      var total: Option[Double] = None
       m.foreach { case (field, colIdx) =>
         if (colIdx < row.length) {
-          row(colIdx) match {
-            case Some(v) =>
-              if (field == "qty" || field == "price" || field == "total") nums(field) = Num.parse(v)
-              else f(field) = Some(v.pyStrip)
-            case None =>
-              if (field == "qty" || field == "price" || field == "total") nums(field) = None
-              else f(field) = None
+          val cell = row(colIdx)
+          field match {
+            case "qty" => cell.foreach(v => qty = Num.parse(v))
+            case "price" => cell.foreach(v => price = Num.parse(v))
+            case "total" => cell.foreach(v => total = Num.parse(v))
+            case "name" => cell.foreach(v => nameV = v.pyStrip)
+            case "article" => cell match {
+              case Some(v) => artState = 2; artV = v.pyStrip
+              case None => artState = 1
+            }
+            case "unit" => cell match {
+              case Some(v) => unitState = 2; unitV = v.pyStrip
+              case None => unitState = 1
+            }
+            case _ => // "number": collected but never read by the item
           }
         }
       }
-      val name = f.getOrElse("name", None)
-      val qty = nums.getOrElse("qty", None)
-      val price = nums.getOrElse("price", None)
-      if (name.forall(_.isEmpty) || qty.isEmpty || price.isEmpty) None
+      if (nameV == null || nameV.isEmpty || qty.isEmpty || price.isEmpty) None
       else {
-        val total = backfillIfNone(nums.getOrElse("total", None), qty, price)
-        // a mapped-but-missing cell stays None in the reference item dict
-        // (table_extractor.py:196-197): null here, "" only when unmapped
-        def strOrNull(field: String): String =
-          if (f.contains(field)) f(field).orNull else ""
-        Some(Item(name.get, strOrNull("article"), qty,
-          strOrNull("unit"), price, "RUB", total, "",
+        val totalB = backfillIfNone(total, qty, price)
+        def strOrNull(state: Int, v: String): String =
+          if (state == 0) "" else if (state == 1) null else v
+        Some(Item(nameV, strOrNull(artState, artV), qty,
+          strOrNull(unitState, unitV), price, "RUB", totalB, "",
           s"table_${tableIdx}_row_$rowIdx", 0.95))
       }
     } catch { case _: Exception => None }
@@ -143,46 +152,60 @@ object PreciseTableParser {
 
   private def isHeaderRow(row: IndexedSeq[Option[String]]): Boolean = {
     val firstCell = if (row.nonEmpty) Py.pyStr(row(0)) else ""
-    Py.containsAny(Py.lower(firstCell), Rules.headerFirstCellPrecise)
+    Py.containsAnyLowered(firstCell, Rules.headerFirstCellPrecise)
   }
 
   /** F5 — ANY cell containing an exclude word kills the row
     * (precise_table_parser.py:266-281). */
   private def isServiceRowAnyCell(row: IndexedSeq[Option[String]]): Boolean =
     row.exists {
-      case Some(cell) => Py.containsAny(Py.lower(cell), Rules.excludeWordsPrecise)
+      case Some(cell) => Py.containsAnyLowered(cell, Rules.excludeWordsPrecise)
       case None => false
     }
 
+  // same local-state layout as TableExtractor.extractItemFromRow
   private def extractItemFromRow(row: IndexedSeq[Option[String]], m: Map[String, Int],
                                  tableIdx: Int, rowIdx: Int): Option[Item] = {
     try {
-      val f = mutable.Map.empty[String, Option[String]]
-      val nums = mutable.Map.empty[String, Option[Double]]
+      var nameV: String = null
+      var artState = 0; var artV: String = null
+      var unitState = 0; var unitV: String = null
+      var qty: Option[Double] = None
+      var price: Option[Double] = None
+      var total: Option[Double] = None
       m.foreach { case (field, colIdx) =>
         if (colIdx < row.length) {
-          row(colIdx) match {
-            case Some(v) =>
-              if (field == "qty" || field == "price" || field == "total") nums(field) = Num.parse(v)
-              else f(field) = Some(Py.collapseWs(v))
-            case None =>
-              if (field == "qty" || field == "price" || field == "total") nums(field) = None
-              else f(field) = None
+          val cell = row(colIdx)
+          field match {
+            case "qty" => cell.foreach(v => qty = Num.parse(v))
+            case "price" => cell.foreach(v => price = Num.parse(v))
+            case "total" => cell.foreach(v => total = Num.parse(v))
+            case "name" => cell.foreach(v => nameV = Py.collapseWs(v))
+            case "article" => cell match {
+              case Some(v) => artState = 2; artV = Py.collapseWs(v)
+              case None => artState = 1
+            }
+            case "unit" => cell match {
+              case Some(v) => unitState = 2; unitV = Py.collapseWs(v)
+              case None => unitState = 1
+            }
+            case _ => // "number": collected but never read by the item
           }
         }
       }
-      // neighbor-cell unit lookup (M4, precise_table_parser.py:301-308)
-      if (m.contains("unit") && f.getOrElse("unit", None).forall(_.isEmpty)) {
+      // neighbor-cell unit lookup (M4, precise_table_parser.py:301-308):
+      // fires when the mapped unit cell is absent, NaN, or empty
+      if (m.contains("unit") && (unitState != 2 || unitV.isEmpty)) {
         val unitCol = m("unit")
         if (unitCol + 1 < row.length) row(unitCol + 1).foreach { uv =>
           val u = uv.pyStrip
-          if (u.nonEmpty && u != "None" && u.length <= 5) f("unit") = Some(u)
+          if (u.nonEmpty && u != "None" && u.length <= 5) { unitState = 2; unitV = u }
         }
       }
       // split-header name merge (M4, precise_table_parser.py:310-320)
-      if (m.contains("name") && f.getOrElse("name", None).exists(_.nonEmpty)) {
+      if (m.contains("name") && nameV != null && nameV.nonEmpty) {
         val nameCol = m("name")
-        var merged = f("name").get
+        var merged = nameV
         (1 to 4).foreach { i =>
           if (nameCol + i < row.length) row(nameCol + i).foreach { nv =>
             val n = nv.pyStrip
@@ -190,19 +213,15 @@ object PreciseTableParser {
               merged = merged + " " + Py.collapseWs(n)
           }
         }
-        f("name") = Some(merged)
+        nameV = merged
       }
-      val name = f.getOrElse("name", None)
-      val qty = nums.getOrElse("qty", None)
-      val price = nums.getOrElse("price", None)
-      if (name.forall(_.isEmpty) || qty.isEmpty || price.isEmpty) None
+      if (nameV == null || nameV.isEmpty || qty.isEmpty || price.isEmpty) None
       else {
-        val total0 = nums.getOrElse("total", None)
-        val total = if (total0.isEmpty && truthy(qty) && truthy(price)) Some(qty.get * price.get) else total0
-        def strOrNull(field: String): String =
-          if (f.contains(field)) f(field).orNull else ""
-        Some(Item(name.get, strOrNull("article"), qty,
-          strOrNull("unit"), price, "RUB", total, "",
+        val totalB = if (total.isEmpty && truthy(qty) && truthy(price)) Some(qty.get * price.get) else total
+        def strOrNull(state: Int, v: String): String =
+          if (state == 0) "" else if (state == 1) null else v
+        Some(Item(nameV, strOrNull(artState, artV), qty,
+          strOrNull(unitState, unitV), price, "RUB", totalB, "",
           s"table_${tableIdx}_row_$rowIdx", 0.95))
       }
     } catch { case _: Exception => None }

@@ -119,16 +119,7 @@ object Py {
     * are no-ops, so return it unchanged (the common case for table cells
     * and regex-captured names). */
   def cleanName(name: String): String = {
-    var normal = name.length > 0 && name.charAt(0) != ' ' &&
-      name.charAt(name.length - 1) != ' '
-    var i = 0
-    while (normal && i < name.length) {
-      val c = name.charAt(i)
-      if (c == ' ') { if (i + 1 < name.length && name.charAt(i + 1) == ' ') normal = false }
-      else if (isPySpace(c)) normal = false
-      i += 1
-    }
-    if (normal) return name
+    if (name.nonEmpty && isWsNormal(name)) return name
     var n = Patterns.cachedMatcher(wsRun, name).replaceAll(" ")
     n = Patterns.cachedMatcher(nlRun, n).replaceAll(" ")
     pyStrip(n)
@@ -146,8 +137,58 @@ object Py {
   def containsAny(sLower: String, words: Seq[String]): Boolean =
     words.exists(sLower.contains)
 
+  /** `containsAny(lower(s), words)` without allocating the lowered copy:
+    * when every char of `s` is ASCII or basic-Cyrillic (where
+    * Character.toLowerCase is exactly Python str.lower — 1:1, no locale
+    * expansions), search case-insensitively in place; anything else falls
+    * back to the exact lower-then-contains path. Only for call sites
+    * whose lowered string is used for NOTHING but the containment check. */
+  def containsAnyLowered(s: String, words: Seq[String]): Boolean = {
+    var simple = true
+    var i = 0
+    while (simple && i < s.length) {
+      val c = s.charAt(i)
+      simple = c < 0x80 || (c >= 0x0400 && c <= 0x04FF)
+      i += 1
+    }
+    if (!simple) return containsAny(lower(s), words)
+    words.exists(w => containsLowered(s, w))
+  }
+
+  /** Is lowercase `w` a substring of lower(s)? 1:1-lowering inputs only. */
+  private def containsLowered(s: String, w: String): Boolean = {
+    val n = s.length
+    val m = w.length
+    if (m == 0) return true
+    var i = 0
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && Character.toLowerCase(s.charAt(i + j)) == w.charAt(j)) j += 1
+      if (j == m) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Is `s` already whitespace-normal (no leading/trailing space, only
+    * single interior ASCII spaces)? Then collapse/strip are no-ops. */
+  private def isWsNormal(s: String): Boolean = {
+    if (s.isEmpty) return true
+    if (s.charAt(0) == ' ' || s.charAt(s.length - 1) == ' ') return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') { if (i + 1 < s.length && s.charAt(i + 1) == ' ') return false }
+      else if (isPySpace(c)) return false
+      i += 1
+    }
+    true
+  }
+
   /** Collapse \s+ to ' ' then strip (precise_table_parser.py:145,297). */
-  def collapseWs(s: String): String = pyStrip(Patterns.cachedMatcher(wsRun, s).replaceAll(" "))
+  def collapseWs(s: String): String =
+    if (isWsNormal(s)) s
+    else pyStrip(Patterns.cachedMatcher(wsRun, s).replaceAll(" "))
 }
 
 /** Compiled regex patterns with Python-equivalent flags. */

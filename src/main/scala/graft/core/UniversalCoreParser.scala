@@ -68,7 +68,7 @@ object UniversalCoreParser {
     table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
       try {
         val firstCell = if (row.nonEmpty) Py.pyStr(row(0)) else ""
-        if (Py.containsAny(Py.lower(firstCell), Rules.headerFirstCellUniversal)) None
+        if (Py.containsAnyLowered(firstCell, Rules.headerFirstCellUniversal)) None
         else {
           val number = if (m.contains("number")) ilocStr(row, m("number")) else ""
           val article = if (m.contains("article")) ilocStr(row, m("article")) else ""

@@ -88,6 +88,18 @@ class NumSpec extends AnyFunSuite {
     }
   }
 
+  test("property: containsAnyLowered equals lower-then-contains on mixed unicode") {
+    val rnd = new scala.util.Random(77)
+    val alphabet = "абвИТОГОитого AbCdİßΣσς№éÉ0129-  всего"
+    val words = Seq("итого", "всего", "abc", "№", "ого в")
+    (1 to 20000).foreach { _ =>
+      val s = (0 until rnd.nextInt(25)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val exact = graft.core.Py.containsAny(graft.core.Py.lower(s), words)
+      val fast = graft.core.Py.containsAnyLowered(s, words)
+      assert(fast == exact, s"'$s'")
+    }
+  }
+
   test("property: never throws on arbitrary junk") {
     val rnd = new scala.util.Random(7)
     val alphabet = "0123456789.,- абвгдABC \t\n₽руб"
