@@ -198,9 +198,10 @@ object CompetitiveParser {
     var supplier: Option[String] = None
     strippedLines.foreach { line =>
       if (line.nonEmpty && line.contains(":")) {
-        val Array(k, v) = line.split(":", 2)
-        val key = Py.lower(k.pyStrip)
-        val value = v.pyStrip
+        // split(":", 2) without the array: first ':' partitions the line
+        val ci = line.indexOf(':')
+        val key = Py.lower(line.substring(0, ci).pyStrip)
+        val value = line.substring(ci + 1).pyStrip
         if (kName.exists(key.contains)) name = Some(value)
         else if (kQty.exists(key.contains)) qty = Some(Num.parse(value))
         else if (kUnit.exists(key.contains)) unit = Some(value)
@@ -230,12 +231,30 @@ object CompetitiveParser {
     try {
       val parts = Py.pySplit(line) // Python line.split()
       if (parts.length < 3) return None
-      val nameParts = parts.filter(p => Patterns.matchAt(Patterns.startsWithLetter, p))
-      val numberParts = parts.filter(p => Patterns.matchAt(Patterns.numericToken, p))
-      if (nameParts.isEmpty || numberParts.length < 2) return None
-      val name = nameParts.mkString(" ")
-      val qty = Num.parse(numberParts(0))
-      val price = Num.parse(numberParts(1))
+      // single pass over the tokens (the classes are disjoint — letter-
+      // start vs all-numeric — so one loop replaces the two filter arrays
+      // + mkString); order within each class is preserved
+      var nameSb: java.lang.StringBuilder = null
+      var num0: String = null
+      var num1: String = null
+      var numCount = 0
+      var i = 0
+      while (i < parts.length) {
+        val p = parts(i)
+        if (Patterns.matchAt(Patterns.startsWithLetter, p)) {
+          if (nameSb == null) nameSb = new java.lang.StringBuilder(p)
+          else { nameSb.append(' '); nameSb.append(p) }
+        }
+        if (Patterns.matchAt(Patterns.numericToken, p)) {
+          if (numCount == 0) num0 = p else if (numCount == 1) num1 = p
+          numCount += 1
+        }
+        i += 1
+      }
+      if (nameSb == null || numCount < 2) return None
+      val name = nameSb.toString
+      val qty = Num.parse(num0)
+      val price = Num.parse(num1)
       if (qty.isEmpty || price.isEmpty) return None
       val unit = parts.find(p => Rules.tokenUnits.exists(Py.lower(p).contains)).getOrElse("")
       val currency = parts.find(p => Rules.tokenCurrencies.exists(Py.upper(p).contains))
