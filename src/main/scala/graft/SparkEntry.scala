@@ -406,6 +406,93 @@ object SparkEntry {
       |  len(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT AS norm_len
       |FROM documents""".stripMargin
 
+  // ---- Gopher-style repetition filters --------------------------------------
+  private def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.repetitionStats(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Integer-exact counts + single-division fractions, replicable in SQL:
+    * the top-word count via unnest/group/max (same integer as the sorted-
+    * run fold), duplicate 2-grams via len - len(distinct). */
+  private val oRepetition =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |tw AS (SELECT doc_id, max(c) AS top_word_count FROM (
+      |    SELECT doc_id, count(*) AS c FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      |    GROUP BY doc_id, w) GROUP BY doc_id),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(tk) >= 2
+      |         THEN [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+      |         ELSE [] END AS grams,
+      |    len(tk)::BIGINT AS n_words
+      |  FROM toks)
+      |SELECT g.doc_id, n_words,
+      |  coalesce(top_word_count, 0)::BIGINT AS top_word_count,
+      |  len(grams)::BIGINT AS n_2grams,
+      |  (len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup_2grams,
+      |  CASE WHEN n_words > 0 THEN coalesce(top_word_count, 0) / n_words::DOUBLE ELSE 0.0 END AS top_word_frac,
+      |  CASE WHEN len(grams) > 0 THEN (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE ELSE 0.0 END AS dup_2gram_frac,
+      |  (CASE WHEN n_words > 0 THEN coalesce(top_word_count, 0) / n_words::DOUBLE ELSE 0.0 END) > 0.2
+      |    OR (CASE WHEN len(grams) > 0 THEN (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE ELSE 0.0 END) > 0.2 AS is_repetitive
+      |FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id""".stripMargin
+
+  // ---- composite corpus filter (C4/Gopher keep/drop pipeline) ---------------
+  private def qCorpusFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.corpusFilter(t(spark, dir, "documents"), "doc_id", "text", lang = "en")
+
+  private val oCorpusFilter =
+    """WITH q AS (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+      |    len(replace(trim(text), ' ', ''))::DOUBLE /
+      |      len(string_split_regex(trim(text), '\s+'))::DOUBLE AS avg_word_len
+      |  FROM documents),
+      |l AS (SELECT doc_id,
+      |  (contains(' '||lower(text)||' ',' the ')::INT + contains(' '||lower(text)||' ',' of ')::INT
+      |    + contains(' '||lower(text)||' ',' and ')::INT) AS hits_en,
+      |  (contains(' '||lower(text)||' ',' der ')::INT + contains(' '||lower(text)||' ',' und ')::INT
+      |    + contains(' '||lower(text)||' ',' die ')::INT) AS hits_de,
+      |  (contains(' '||lower(text)||' ',' le ')::INT + contains(' '||lower(text)||' ',' la ')::INT
+      |    + contains(' '||lower(text)||' ',' et ')::INT) AS hits_fr,
+      |  (contains(' '||lower(text)||' ',' el ')::INT + contains(' '||lower(text)||' ',' los ')::INT
+      |    + contains(' '||lower(text)||' ',' y ')::INT) AS hits_es
+      | FROM documents),
+      |lang AS (SELECT doc_id,
+      |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+      |       WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+      |       WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+      |       WHEN hits_es > 0 THEN 'es'
+      |       ELSE 'und' END AS pred_lang
+      |  FROM l),
+      |toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |tw AS (SELECT doc_id, max(c) AS twc FROM (
+      |    SELECT doc_id, count(*) AS c FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+      |    GROUP BY doc_id, w) GROUP BY doc_id),
+      |rep AS (SELECT toks.doc_id,
+      |    CASE WHEN len(tk) > 0 THEN coalesce(twc, 0) / len(tk)::DOUBLE ELSE 0.0 END AS top_frac,
+      |    CASE WHEN len(tk) >= 2 THEN
+      |      (len([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) -
+      |       len(list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]))) /
+      |      len([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])::DOUBLE
+      |      ELSE 0.0 END AS dup_frac
+      |  FROM toks LEFT JOIN tw ON toks.doc_id = tw.doc_id),
+      |dd AS (SELECT doc_id, row_number() OVER (
+      |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT q.doc_id,
+      |  (n_words >= 20 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0) AS pass_quality,
+      |  (pred_lang = 'en') AS pass_lang,
+      |  NOT (top_frac > 0.2 OR dup_frac > 0.2) AS pass_repetition,
+      |  (rn = 1) AS pass_dedup,
+      |  (n_words >= 20 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0)
+      |    AND pred_lang = 'en' AND NOT (top_frac > 0.2 OR dup_frac > 0.2)
+      |    AND rn = 1 AS keep
+      |FROM q JOIN lang ON q.doc_id = lang.doc_id
+      |  JOIN rep ON q.doc_id = rep.doc_id
+      |  JOIN dd ON q.doc_id = dd.doc_id""".stripMargin
+
   // ---- S4/S5: text-layer metrics ------------------------------------------
   private def qTextMetrics(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"),
@@ -916,7 +1003,9 @@ object SparkEntry {
     "q39_asof_join" -> (qAsofJoin _),
     "q40_range_join" -> (qRangeJoin _),
     "q41_blocked_match" -> (qBlockedMatch _),
-    "q42_asof_salted" -> (qAsofSalted _))
+    "q42_asof_salted" -> (qAsofSalted _),
+    "q43_repetition" -> (qRepetition _),
+    "q44_corpus_filter" -> (qCorpusFilter _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -960,7 +1049,9 @@ object SparkEntry {
     "q32_quality_score" -> oQuality,
     "q33_det_sample" -> oSample,
     "q41_blocked_match" -> oBlockedMatch,
-    "q42_asof_salted" -> oAsofJoin)
+    "q42_asof_salted" -> oAsofJoin,
+    "q43_repetition" -> oRepetition,
+    "q44_corpus_filter" -> oCorpusFilter)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

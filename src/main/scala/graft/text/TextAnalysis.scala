@@ -85,4 +85,92 @@ object TextAnalysis {
       .withColumn("fp_bucket", substring(md5(norm), 1, 8))
       .withColumn("norm_len", length(norm).cast("long"))
   }
+
+  private def alnumTokens(t: Column): Column =
+    filter(split(lower(t), "[^a-z0-9]+"), x => x =!= "")
+
+  /** Non-distinct word 2-grams ("a b"): the repetition unit. */
+  private def word2grams(toks: Column): Column = {
+    val n = size(toks)
+    val zipped = arrays_zip(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1))
+    when(n >= 2, transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1"))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Gopher-style repetition filters per document: the most-frequent-word
+   * fraction and the duplicate-2-gram fraction — the standard signals for
+   * machine-generated / boilerplate text in training-data curation
+   * (counts are exact integers; each fraction is ONE division, so the SQL
+   * oracle matches bit-for-bit). The top-word count folds over the SORTED
+   * token array (longest equal-run), map-side, no shuffle.
+   */
+  /** (top-word run count over the sorted tokens, 2-gram array) — shared by
+    * [[repetitionStats]] and [[corpusFilter]]. */
+  private def repetitionPieces(t: Column): (Column, Column, Column) = {
+    val toks = alnumTokens(t)
+    val sorted = sort_array(toks)
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val topCount = aggregate(sorted, zero, (acc, tok) => {
+      val newRun = when(tok === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(tok.as("prev"), newRun.as("run"),
+        greatest(acc.getField("best"), newRun).as("best"))
+    }).getField("best")
+    (toks, topCount, word2grams(toks))
+  }
+
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      maxTopWordFrac: Double = 0.2,
+                      maxDup2gramFrac: Double = 0.2): DataFrame = {
+    val (toks, topCount, grams) = repetitionPieces(col(textCol))
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        topCount.as("top_word_count"),
+        size(grams).cast("long").as("n_2grams"),
+        (size(grams) - size(array_distinct(grams))).cast("long").as("n_dup_2grams"))
+      .withColumn("top_word_frac",
+        when(col("n_words") > 0,
+          col("top_word_count").cast("double") / col("n_words").cast("double")).otherwise(0.0))
+      .withColumn("dup_2gram_frac",
+        when(col("n_2grams") > 0,
+          col("n_dup_2grams").cast("double") / col("n_2grams").cast("double")).otherwise(0.0))
+      .withColumn("is_repetitive",
+        col("top_word_frac") > maxTopWordFrac || col("dup_2gram_frac") > maxDup2gramFrac)
+  }
+
+  /**
+   * Composite corpus-cleaning decision (the C4/Gopher-style keep/drop
+   * pipeline): quality gate + language gate + repetition gate + exact-dup
+   * gate (only the lowest doc id per normalized-text hash survives), each
+   * reported as its own flag so downstream can audit why a document was
+   * dropped. ONE shuffle total (the dedup window on the fingerprint);
+   * every other gate is a map-side column expression.
+   */
+  def corpusFilter(df: DataFrame, idCol: String, textCol: String,
+                   lang: String = "en",
+                   maxTopWordFrac: Double = 0.2,
+                   maxDup2gramFrac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val (toks, topCount, grams) = repetitionPieces(t)
+    val topFrac = when(size(toks) > 0,
+      topCount.cast("double") / size(toks).cast("double")).otherwise(0.0)
+    val dupFrac = when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double")).otherwise(0.0)
+    val norm = lower(trim(regexp_replace(t, "\\s+", " ")))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    qualityScore(langId(df, textCol), textCol)
+      .withColumn("pass_quality", col("is_quality"))
+      .withColumn("pass_lang", col("pred_lang") === lang)
+      .withColumn("pass_repetition",
+        !(topFrac > maxTopWordFrac || dupFrac > maxDup2gramFrac))
+      .withColumn("__fp", md5(norm))
+      .withColumn("pass_dedup", row_number().over(w) === 1)
+      .withColumn("keep",
+        col("pass_quality") && col("pass_lang") && col("pass_repetition") && col("pass_dedup"))
+      .select(col(idCol), col("pass_quality"), col("pass_lang"),
+        col("pass_repetition"), col("pass_dedup"), col("keep"))
+  }
 }

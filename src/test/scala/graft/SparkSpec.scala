@@ -255,6 +255,25 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1.0, 2.0))
   }
 
+  test("repetition stats flag machine-generated text; corpus filter composes gates") {
+    import spark.implicits._
+    val repetitive = (1 to 50).map(_ => "buy now").mkString(" ")       // one dup 2-gram family
+    val healthy = "the quick brown fox jumps over a lazy dog and then " +
+      "wanders off into the quiet forest of tall green trees at dusk today"
+    val docs = Seq((1L, healthy), (2L, repetitive), (3L, healthy)).toDF("doc_id", "text")
+    val rep = graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("is_repetitive")).toMap
+    assert(rep(2L), "50x repeated bigram must flag")
+    assert(!rep(1L))
+    val cf = graft.text.TextAnalysis.corpusFilter(docs, "doc_id", "text", lang = "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("keep"), r.getAs[Boolean]("pass_dedup"), r.getAs[Boolean]("pass_repetition")))
+      .toMap
+    assert(cf(1L)._1, "healthy unique english doc is kept")
+    assert(!cf(2L)._3 && !cf(2L)._1, "repetitive doc dropped via the repetition gate")
+    assert(!cf(3L)._2 && !cf(3L)._1, "exact duplicate dropped via the dedup gate")
+  }
+
   test("token-blocked matcher equals the all-pairs matcher on the product dim") {
     val products = graft.io.Transcripts.productsDim(spark)
     val items = Pipeline.extractItems(graft.io.Transcripts.generateDF(spark, 300L))
