@@ -164,12 +164,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard verify over given candidate pairs (the scale
     * path's second stage: candidates come from [[minhashCandidates]]).
-    * Pairs must have columns (id_a, id_b); shingle sets are joined in —
-    * two id-keyed shuffles of the (small) pair table against the corpus
-    * shingles, never an all-pairs product. */
+    * Pairs must have columns (id_a, id_b). The corpus is first semi-joined
+    * down to the ids that actually appear in a pair — shingle sets are
+    * computed ONLY for candidate documents (<= 2|pairs| rows), never for
+    * the whole corpus — then joined to the pair table. Two id-keyed
+    * shuffles of small tables; no all-pairs product, no corpus-wide
+    * shingle pass. */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = df.select(col(idCol).as("vid"), shingles(col(textCol), k).as("vsh"))
+    val candIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val cands = df.join(candIds, Seq(idCol), "left_semi")
+    val sh = cands.select(col(idCol).as("vid"), shingles(col(textCol), k).as("vsh"))
     pairs.select("id_a", "id_b")
       .join(sh.select(col("vid").as("id_a"), col("vsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("vid").as("id_b"), col("vsh").as("sh_b")), Seq("id_b"))
