@@ -196,6 +196,22 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.expr.SimHashBlocksExpr(children.head))
     val b = spark.sql("SELECT simhash_blocks(array('hello', 'world')) AS b").collect()(0)
     assert(b.getSeq[Long](0).length == 4)
+    // minhash_sig through the REAL GraftExtensions builder: INT and BIGINT
+    // numHashes literals both fold (Number.intValue); a non-foldable second
+    // argument fails with a clear message, not a ClassCastException
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.expr.MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.GraftExtensions.minhashSigBuilder(children))
+    val sInt = spark.sql("SELECT minhash_sig(array('a b c'), 8) AS s").collect()(0).getSeq[Long](0)
+    val sLong = spark.sql("SELECT minhash_sig(array('a b c'), CAST(8 AS BIGINT)) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sInt.length == 8 && sInt == sLong)
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), CAST(rand() * 8 AS INT)) AS s").collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("IVF top-k with full probing equals brute force; partial probing is a subset search") {
