@@ -111,6 +111,12 @@ object PlansDump {
       graft.relational.AsOf.asofJoinSalted(purchases, clicks, "user_id", "ts",
         Seq("ts", "value"), bucketWidthUs = 3600000000L).explain("formatted")
     }
+    section("q44 composite corpus filter (one shuffle for four gates)",
+      "Quality, language and repetition gates are pure projections over the " +
+      "scan; the only Exchange is the fingerprint window for the exact-dup " +
+      "gate — the C4/Gopher cleaning decision costs one shuffle at any scale.") {
+      SparkEntry.queries("q44_corpus_filter")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
