@@ -377,6 +377,18 @@ object SparkEntry {
       |  n_words >= 20 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0 AS is_quality
       |FROM q""".stripMargin
 
+  /** Stratified variant: per-language keep rates over the documents table
+    * (upsample 'de', downsample 'en' — the corpus-mixing shape). */
+  private def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.stratifiedSample(
+      t(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", "lang", Map("en" -> 32, "de" -> 192), defaultOutOf256 = 64)
+
+  private val oStratifiedSample =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+      |  (CASE WHEN lang = 'de' THEN 'c0' WHEN lang = 'en' THEN '20' ELSE '40' END)""".stripMargin
+
   private def qSample(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.deterministicSample(
       t(spark, dir, "documents").select("doc_id", "lang", "n_chars"), "doc_id", 64)
@@ -1005,7 +1017,8 @@ object SparkEntry {
     "q41_blocked_match" -> (qBlockedMatch _),
     "q42_asof_salted" -> (qAsofSalted _),
     "q43_repetition" -> (qRepetition _),
-    "q44_corpus_filter" -> (qCorpusFilter _))
+    "q44_corpus_filter" -> (qCorpusFilter _),
+    "q45_stratified_sample" -> (qStratifiedSample _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1051,7 +1064,8 @@ object SparkEntry {
     "q41_blocked_match" -> oBlockedMatch,
     "q42_asof_salted" -> oAsofJoin,
     "q43_repetition" -> oRepetition,
-    "q44_corpus_filter" -> oCorpusFilter)
+    "q44_corpus_filter" -> oCorpusFilter,
+    "q45_stratified_sample" -> oStratifiedSample)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

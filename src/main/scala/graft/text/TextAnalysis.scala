@@ -71,11 +71,30 @@ object TextAnalysis {
     * identical everywhere), stable under re-runs and resharding. The
     * training-data downsampling primitive (optionally stratified by any
     * column simply by choosing per-stratum rates). */
-  def deterministicSample(df: DataFrame, idCol: String, keepOutOf256: Int): DataFrame = {
-    // lexicographic compare on the fixed-width lowercase hex prefix ==
-    // numeric compare ('0'-'9' < 'a'-'f'), portable across engines
-    val bound = f"$keepOutOf256%02x"
-    df.where(substring(md5(col(idCol).cast("string")), 1, 2) < bound)
+  def deterministicSample(df: DataFrame, idCol: String, keepOutOf256: Int): DataFrame =
+    df.where(substring(md5(col(idCol).cast("string")), 1, 2) < rateBound(keepOutOf256))
+
+  // lexicographic compare on the fixed-width lowercase hex prefix ==
+  // numeric compare ('0'-'9' < 'a'-'f'), portable across engines; 256 needs
+  // a sentinel above every hex pair ("100" would sort BELOW "1f")
+  private def rateBound(outOf256: Int): String = {
+    require(outOf256 >= 0 && outOf256 <= 256, s"rate must be in [0,256]: $outOf256")
+    if (outOf256 == 256) "g" else f"$outOf256%02x"
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (out of
+    * 256) over the same seed-free md5 gate as [[deterministicSample]] —
+    * the training-data MIXING primitive (e.g. upsample rare languages,
+    * downsample boilerplate-heavy domains) with reshard-stable, exactly
+    * reproducible membership. Strata absent from `rates` fall back to
+    * `defaultOutOf256`. Pure map-side predicate. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultOutOf256: Int): DataFrame = {
+    val gate = substring(md5(col(idCol).cast("string")), 1, 2)
+    val bound = rates.foldLeft(lit(rateBound(defaultOutOf256))) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(rateBound(r))).otherwise(acc)
+    }
+    df.where(gate < bound)
   }
 
   /** Fingerprinting: md5 of the normalized text + an 8-hex-char bucket. */

@@ -290,6 +290,31 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cf(3L)._2 && !cf(3L)._1, "exact duplicate dropped via the dedup gate")
   }
 
+  test("stratified sampling: per-stratum gates compose the flat deterministic gate") {
+    import spark.implicits._
+    val docs = (1 to 400).map(i => (i.toLong, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // Uniform rates == the flat deterministic sample (same md5 gate).
+    val uniform = graft.text.TextAnalysis.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 64, "de" -> 64), defaultOutOf256 = 64)
+    val flat = graft.text.TextAnalysis.deterministicSample(docs, "doc_id", 64)
+    assert(ids(uniform) == ids(flat))
+    // Monotone membership: raising a stratum's rate only adds rows.
+    val low = ids(graft.text.TextAnalysis.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 16), defaultOutOf256 = 64))
+    val high = ids(graft.text.TextAnalysis.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 128), defaultOutOf256 = 64))
+    assert(low.subsetOf(high))
+    // Rate 0 empties a stratum; absent strata use the default.
+    val zeroEn = graft.text.TextAnalysis.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0), defaultOutOf256 = 256)
+    assert(zeroEn.where($"lang" === "en").count() == 0)
+    assert(zeroEn.where($"lang" === "de").count() ==
+      docs.where($"lang" === "de").count())
+  }
+
   test("token-blocked matcher equals the all-pairs matcher on the product dim") {
     val products = graft.io.Transcripts.productsDim(spark)
     val items = Pipeline.extractItems(graft.io.Transcripts.generateDF(spark, 300L))
