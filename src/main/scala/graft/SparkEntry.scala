@@ -389,6 +389,43 @@ object SparkEntry {
       |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
       |  (CASE WHEN lang = 'de' THEN 'c0' WHEN lang = 'en' THEN '20' ELSE '40' END)""".stripMargin
 
+  /** Sequence packing: concat-then-chunk into 512-token packs, 8 shards. */
+  private def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.packSequences(
+      t(spark, dir, "documents"), "doc_id", "text", packTokens = 512, nShards = 8)
+
+  private val oPackSequences =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)::BIGINT AS tok_start
+      |  FROM t)
+      |SELECT shard, pack_id, doc_id,
+      |       greatest(tok_start, pack_id*512) - tok_start AS seg_start_in_doc,
+      |       least(tok_start + n_tokens, (pack_id+1)*512) - greatest(tok_start, pack_id*512) AS seg_len
+      |FROM o, unnest(generate_series(tok_start//512, (tok_start + n_tokens - 1)//512)) AS u(pack_id)""".stripMargin
+
+  /** Int8 scalar quantization of the embedding corpus (digest compare). */
+  private def qQuantize(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Quantize.int8(t(spark, dir, "embeddings"))
+      .select("vec_id", "scale", "n_sat", "code_sum", "code_md5")
+
+  private val oQuantize =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce([0.0::DOUBLE] || [abs(x::DOUBLE) FOR x IN embedding], (a,b) -> greatest(a,b)) AS amax
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, embedding, CASE WHEN amax > 0 THEN amax/127.0 ELSE 1.0 END AS scale FROM q),
+      |c AS (SELECT vec_id, scale, [floor(x::DOUBLE / scale + 0.5)::INT FOR x IN embedding] AS codes FROM s)
+      |SELECT vec_id, scale,
+      |  len(list_filter(codes, c -> abs(c) = 127))::BIGINT AS n_sat,
+      |  list_reduce([0::BIGINT] || [c::BIGINT FOR c IN codes], (a,b) -> a+b) AS code_sum,
+      |  md5(array_to_string(codes, ',')) AS code_md5
+      |FROM c""".stripMargin
+
   private def qSample(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.deterministicSample(
       t(spark, dir, "documents").select("doc_id", "lang", "n_chars"), "doc_id", 64)
@@ -1018,7 +1055,9 @@ object SparkEntry {
     "q42_asof_salted" -> (qAsofSalted _),
     "q43_repetition" -> (qRepetition _),
     "q44_corpus_filter" -> (qCorpusFilter _),
-    "q45_stratified_sample" -> (qStratifiedSample _))
+    "q45_stratified_sample" -> (qStratifiedSample _),
+    "q46_pack_sequences" -> (qPackSequences _),
+    "q47_quantize_int8" -> (qQuantize _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1065,7 +1104,9 @@ object SparkEntry {
     "q42_asof_salted" -> oAsofJoin,
     "q43_repetition" -> oRepetition,
     "q44_corpus_filter" -> oCorpusFilter,
-    "q45_stratified_sample" -> oStratifiedSample)
+    "q45_stratified_sample" -> oStratifiedSample,
+    "q46_pack_sequences" -> oPackSequences,
+    "q47_quantize_int8" -> oQuantize)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

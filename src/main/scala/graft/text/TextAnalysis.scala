@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -95,6 +96,37 @@ object TextAnalysis {
       when(col(stratumCol) === stratum, lit(rateBound(r))).otherwise(acc)
     }
     df.where(gate < bound)
+  }
+
+  /** GPT-style sequence packing: concatenate documents in stable id order
+    * and chunk the token stream into fixed `packTokens` windows, letting a
+    * document span pack boundaries (the concat-then-chunk pretraining
+    * contract). Packing is per shard (`id mod nShards`): the cumulative
+    * token offset needs only a shard-local ordered window — ONE shuffle,
+    * shards pack in parallel — where a single global order would serialize
+    * the whole corpus through one partition. Emits one row per (doc, pack)
+    * segment: which token range of the doc lands in which pack.
+    * Integer-exact throughout (`div`, no float division). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    packTokens: Int, nShards: Int): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive: $packTokens")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    val cap = lit(packTokens.toLong)
+    df.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        nTokens.as("n_tokens"))
+      .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", explode(sequence(
+        expr(s"tok_start div ${packTokens}L"),
+        expr(s"(tok_start + n_tokens - 1) div ${packTokens}L"))))
+      .withColumn("seg_start", greatest(col("tok_start"), col("pack_id") * cap))
+      .withColumn("seg_len",
+        least(col("tok_start") + col("n_tokens"), (col("pack_id") + lit(1L)) * cap)
+          - col("seg_start"))
+      .select(col("shard"), col("pack_id"), col(idCol),
+        (col("seg_start") - col("tok_start")).as("seg_start_in_doc"),
+        col("seg_len"))
   }
 
   /** Fingerprinting: md5 of the normalized text + an 8-hex-char bucket. */

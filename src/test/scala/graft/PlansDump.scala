@@ -117,6 +117,19 @@ object PlansDump {
       "gate — the C4/Gopher cleaning decision costs one shuffle at any scale.") {
       SparkEntry.queries("q44_corpus_filter")(spark, dir).explain("formatted")
     }
+    section("q46 sequence packing (one shard-keyed shuffle)",
+      "Concat-then-chunk packing: the cumulative token offset is a window " +
+      "over (shard, id) — ONE hash Exchange on shard, then pack assignment, " +
+      "boundary segmentation and the explode are all map-side arithmetic. " +
+      "Shards pack in parallel; a global order would serialize the corpus.") {
+      SparkEntry.queries("q46_pack_sequences")(spark, dir).explain("formatted")
+    }
+    section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
+      "Per-vector max-abs scale, code transform and the audit digests are " +
+      "codegen'd HOFs over the embedding array: no shuffle, no UDF — at " +
+      "100 TB this is a pure map stage that fuses with whatever reads it.") {
+      SparkEntry.queries("q47_quantize_int8")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()

@@ -315,6 +315,57 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       docs.where($"lang" === "de").count())
   }
 
+  test("sequence packing: lossless, contiguous, full packs except per-shard tails") {
+    import spark.implicits._
+    val docs = (1 to 120).map(i => (i.toLong, ("tok " * (i % 37 + 1)).trim))
+      .toDF("doc_id", "text")
+    val packed = graft.text.TextAnalysis
+      .packSequences(docs, "doc_id", "text", packTokens = 64, nShards = 4)
+      .collect()
+    // Lossless: per-doc segment lengths sum to the doc's token count.
+    val perDoc = packed.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(4)).sum)
+    (1 to 120).foreach { i => assert(perDoc(i.toLong) == (i % 37 + 1).toLong) }
+    // Full packs: every (shard, pack) holds exactly 64 tokens except the
+    // single highest pack per shard (the tail).
+    val perPack = packed.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(4)).sum).toMap
+    val lastPack = perPack.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    perPack.foreach { case ((shard, pack), tokens) =>
+      if (pack < lastPack(shard)) assert(tokens == 64L, s"pack ($shard,$pack)")
+      else assert(tokens <= 64L)
+    }
+    // Contiguous within a doc: a doc spanning packs restarts where it left off.
+    val spanning = packed.groupBy(_.getLong(2)).filter(_._2.length > 1)
+    assert(spanning.nonEmpty, "fixture must exercise boundary-spanning docs")
+    spanning.foreach { case (_, segs) =>
+      val ordered = segs.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) + a.getLong(4) == b.getLong(3), "gap inside doc")
+        assert(b.getLong(1) == a.getLong(1) + 1, "non-adjacent packs")
+      }
+    }
+  }
+
+  test("int8 quantization: codes bounded, dequant error within half a scale step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // amax=0 -> scale 1.0, all-zero codes
+      (3L, Array(-2.0f, 0.003f, 1.999f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.ann.Quantize.dequantError(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Double]("scale") == 1.0)
+    assert(out(2L).getAs[Long]("code_sum") == 0L)
+    out.values.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(r.getAs[Double]("max_abs_err") <= r.getAs[Double]("scale") * 0.5 + 1e-12)
+    }
+    // the max-magnitude element saturates exactly
+    assert(out(1L).getAs[scala.collection.Seq[Int]]("codes")(3) == 127)
+    assert(out(3L).getAs[scala.collection.Seq[Int]]("codes")(0) == -127)
+  }
+
   test("token-blocked matcher equals the all-pairs matcher on the product dim") {
     val products = graft.io.Transcripts.productsDim(spark)
     val items = Pipeline.extractItems(graft.io.Transcripts.generateDF(spark, 300L))
