@@ -426,6 +426,52 @@ object SparkEntry {
       |  md5(array_to_string(codes, ',')) AS code_md5
       |FROM c""".stripMargin
 
+  /** Source blocklist filter + per-source survivor stats (C4 badlist). */
+  private def qSourceFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val block = Seq("src3", "src7", "src11").toDF("blocked_source")
+    graft.text.CorpusAnalysis
+      .blocklistFilter(t(spark, dir, "documents"), "source", block, "blocked_source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        countDistinct("lang").as("n_langs"))
+  }
+
+  private val oSourceFilter =
+    """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |       count(DISTINCT lang) AS n_langs
+      |FROM documents WHERE source NOT IN ('src3','src7','src11')
+      |GROUP BY source""".stripMargin
+
+  /** Gap sessionization via the NATIVE session_window operator (the
+    * streaming-capable formulation of q17; split at gap >= 30 min,
+    * window end = last event + gap). */
+  private def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp")) // TIMESTAMP_NTZ; session tz is UTC
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+  }
+
+  private val oSessionWindow =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |      FROM m)
+      |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+      |       max(epoch_us(ts)) + 1800000000 AS session_end_us,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   private def qSample(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.deterministicSample(
       t(spark, dir, "documents").select("doc_id", "lang", "n_chars"), "doc_id", 64)
@@ -736,6 +782,12 @@ object SparkEntry {
 
   private def qContamination(spark: SparkSession, dir: String): DataFrame =
     graft.text.CorpusAnalysis.contamination(t(spark, dir, "documents"), "doc_id", "text",
+      k = 8, benchOutOf256 = 16, maxDf = 10000)
+
+  /** Bloom-prefiltered contamination — same semantics/oracle as q37, the
+    * corpus-scale shuffle shape (only might-be-bench shingles shuffle). */
+  private def qContaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.contaminationBloom(t(spark, dir, "documents"), "doc_id", "text",
       k = 8, benchOutOf256 = 16, maxDf = 10000)
 
   private val oContamination =
@@ -1057,7 +1109,10 @@ object SparkEntry {
     "q44_corpus_filter" -> (qCorpusFilter _),
     "q45_stratified_sample" -> (qStratifiedSample _),
     "q46_pack_sequences" -> (qPackSequences _),
-    "q47_quantize_int8" -> (qQuantize _))
+    "q47_quantize_int8" -> (qQuantize _),
+    "q48_source_filter" -> (qSourceFilter _),
+    "q49_session_window" -> (qSessionWindow _),
+    "q50_contamination_bloom" -> (qContaminationBloom _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1106,7 +1161,10 @@ object SparkEntry {
     "q44_corpus_filter" -> oCorpusFilter,
     "q45_stratified_sample" -> oStratifiedSample,
     "q46_pack_sequences" -> oPackSequences,
-    "q47_quantize_int8" -> oQuantize)
+    "q47_quantize_int8" -> oQuantize,
+    "q48_source_filter" -> oSourceFilter,
+    "q49_session_window" -> oSessionWindow,
+    "q50_contamination_bloom" -> oContamination)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

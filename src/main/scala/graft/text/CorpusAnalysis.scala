@@ -99,6 +99,58 @@ object CorpusAnalysis {
   }
 
   /**
+   * [[contamination]] with a bloom prefilter — IDENTICAL output, far less
+   * shuffle at corpus scale. The bench side's shingle hashes are
+   * aggregated into a bloom filter (distributed build; only the ~MB
+   * bitset reaches the driver), broadcast, and applied MAP-SIDE before
+   * the df-cap window: only corpus shingles that might belong to the
+   * bench set ever enter the h-keyed exchange, shrinking it from
+   * |corpus shingles| to ~|bench shingles| x (1+fpp) — the shape that
+   * matters when the corpus is 100 TB and the benchmark is a few GB.
+   *
+   * Exactness: the probe is a pure function of h, so it keeps or drops
+   * whole h-groups — per-h document frequencies among survivors are
+   * unchanged — and bloom false positives match no bench row in the exact
+   * equi-join, so they contribute nothing. No false negatives by
+   * construction. SparkSpec asserts output equality with [[contamination]].
+   */
+  def contaminationBloom(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, benchOutOf256: Int = 16,
+                         maxDf: Int = 10000, fpp: Double = 0.01): DataFrame = {
+    val raw = df.select(col(idCol).as("doc_id"),
+        explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
+      .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+    val bound = f"$benchOutOf256%02x"
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 2) < bound
+    val benchH = raw.where(isBench).select("h")
+    // one action on the SMALL side (the benchmark, by contract) to size the
+    // filter; the build itself is a distributed aggregation
+    val nBench = math.max(benchH.count(), 1L)
+    val bloom = benchH.stat.bloomFilter("h", nBench, fpp)
+    val bb = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bb.value.mightContainLong(h))
+    val sh = raw.where(mightContain(col("h")))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__df") <= maxDf)
+      .drop("__df")
+    val bench = sh.where(substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    sh.join(bench, Seq("h"))
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_shared_ngrams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /** Source/domain blocklist filtering (the C4-style badlist step): a
+    * broadcast LEFT ANTI join — the blocklist is dimension-sized by
+    * definition, so the corpus never shuffles; at 100 TB this is a
+    * map-side hash probe fused into the scan stage. */
+  def blocklistFilter(df: DataFrame, srcCol: String,
+                      blocklist: DataFrame, blockCol: String): DataFrame =
+    df.join(broadcast(blocklist), df(srcCol) === blocklist(blockCol), "left_anti")
+
+  /**
    * Corpus-level boilerplate detection (north-star "repeated-prefix /
    * line-density" heuristic at corpus scale): a line is boilerplate when
    * its normalized form occurs in at least `minDocs` distinct documents.

@@ -124,6 +124,21 @@ object PlansDump {
       "Shards pack in parallel; a global order would serialize the corpus.") {
       SparkEntry.queries("q46_pack_sequences")(spark, dir).explain("formatted")
     }
+    section("q48 source blocklist (broadcast anti-join, corpus never shuffles for the filter)",
+      "The C4 badlist step: the blocklist is dimension-sized, so the anti " +
+      "join is a BroadcastHashJoin LeftAnti fused into the scan stage; the " +
+      "only Exchange is the survivor-stats groupBy.") {
+      SparkEntry.queries("q48_source_filter")(spark, dir).explain("formatted")
+    }
+    section("q50 bloom-prefiltered contamination (bench-sized shuffle instead of corpus-sized)",
+      "Identical output to q37 (same oracle): the bench shingle hashes are " +
+      "aggregated into a broadcast bloom filter and probed MAP-SIDE before " +
+      "the df-cap window, so the h-keyed Exchange carries only " +
+      "might-be-bench shingles (~|bench| x 1.01) instead of every corpus " +
+      "shingle. False positives die at the exact equi-join; per-h df counts " +
+      "are unchanged because the probe keeps or drops whole h-groups.") {
+      SparkEntry.queries("q50_contamination_bloom")(spark, dir).explain("formatted")
+    }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +
       "codegen'd HOFs over the embedding array: no shuffle, no UDF — at " +

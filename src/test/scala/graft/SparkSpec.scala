@@ -480,6 +480,42 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet == Set(1L, 2L), s"only the rare shared 8-gram survives: $got")
   }
 
+  test("bloom-prefiltered contamination equals the exact-join contamination") {
+    import spark.implicits._
+    val common = (1 to 8).map(i => s"common$i").mkString(" ")
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    def uniq(i: Int) = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
+    val docs = (1 to 40).map { i =>
+      val extra = if (i <= 3) s" $shared" else ""
+      (i.toLong, s"$common ${uniq(i)}$extra")
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long]("n_shared_ngrams"),
+        r.getAs[Long]("n_bench_docs"))).sortBy(_._1).toSeq
+    // both a selective bench gate and all-bench; cap exercised and not
+    for (benchGate <- Seq(128, 255); maxDf <- Seq(5, 10000)) {
+      val exact = canon(graft.text.CorpusAnalysis.contamination(
+        docs, "doc_id", "text", k = 8, benchOutOf256 = benchGate, maxDf = maxDf))
+      val bloom = canon(graft.text.CorpusAnalysis.contaminationBloom(
+        docs, "doc_id", "text", k = 8, benchOutOf256 = benchGate, maxDf = maxDf))
+      assert(bloom == exact, s"benchGate=$benchGate maxDf=$maxDf")
+      if (benchGate == 255) assert(exact.nonEmpty)
+    }
+  }
+
+  test("source blocklist filter drops exactly the listed sources via broadcast anti-join") {
+    import spark.implicits._
+    val docs = (1 to 30).map(i => (i.toLong, s"src${i % 5}")).toDF("doc_id", "source")
+    val block = Seq("src1", "src3").toDF("blocked_source")
+    val kept = graft.text.CorpusAnalysis.blocklistFilter(docs, "source", block, "blocked_source")
+    assert(kept.select("source").distinct().collect().map(_.getString(0)).toSet ==
+      Set("src0", "src2", "src4"))
+    assert(kept.count() == 18L)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join, got:\n$plan")
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
