@@ -444,8 +444,9 @@ object SparkEntry {
       |GROUP BY source""".stripMargin
 
   /** Gap sessionization via the NATIVE session_window operator (the
-    * streaming-capable formulation of q17; split at gap >= 30 min,
-    * window end = last event + gap). */
+    * streaming-capable formulation of q17; merges at exactly-gap, splits
+    * strictly at gap > 30 min — verified against batch session_window by
+    * StreamingSpec's boundary fixture; window end = last event + gap). */
   private def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .withColumn("ts", col("ts").cast("timestamp")) // TIMESTAMP_NTZ; session tz is UTC
@@ -461,7 +462,7 @@ object SparkEntry {
     """WITH m AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |s AS (SELECT user_id, ts,

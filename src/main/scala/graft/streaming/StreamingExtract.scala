@@ -63,6 +63,74 @@ object StreamingExtract {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  // ---- gap sessionization with custom state --------------------------------
+
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionBuf(open: List[OpenSession])
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+
+  /** Streaming gap sessionization via flatMapGroupsWithState +
+    * EventTimeTimeout — the custom-state formulation of the batch
+    * `session_window` query (q49), for when a pipeline needs to enrich or
+    * act on each session as it CLOSES rather than aggregate it. Events are
+    * merged into open [start, last+gap] intervals (merge at exactly-gap,
+    * split strictly beyond it — the session_window convention, pinned by
+    * the StreamingSpec boundary fixture); a session finalizes once the
+    * watermark passes strictly beyond its end — sound because a later
+    * event could only merge if ts <= last+gap < watermark, and
+    * post-watermark events are dropped.
+    * State per user is the handful of currently-open sessions; the timeout
+    * is set to the earliest open end so idle users flush without new
+    * input. StreamingSpec asserts equality with batch session_window on
+    * the same bounded input. */
+  def streamingSessions(events: DataFrame, gapMinutes: Int = 30,
+                        lateness: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gapUs = gapMinutes * 60L * 1000000L
+    val evs = events
+      .withWatermark("ts", lateness)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    // interval merge over sessions sorted by start; acc head is the most
+    // recent interval, merged while next.start <= head.last + gap (an
+    // event exactly gap after the last one still merges — session_window
+    // semantics)
+    def merge(open: List[OpenSession], tsUs: Seq[Long]): List[OpenSession] = {
+      val all = (open ++ tsUs.map(t => OpenSession(t, t, 1L)))
+        .sortBy(s => (s.startUs, s.lastUs))
+      all.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case h :: t if s.startUs <= h.lastUs + gapUs =>
+            OpenSession(h.startUs, math.max(h.lastUs, s.lastUs), h.n + s.n) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+    }
+    evs.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          val open0 = state.getOption.map(_.open).getOrElse(Nil)
+          val incoming = rows.map(_._3).toSeq
+          val merged = if (incoming.isEmpty) open0 else merge(open0, incoming)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, stillOpen) = merged.partition(s => s.lastUs + gapUs < wmUs)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(stillOpen))
+            // fire once the watermark is STRICTLY past the earliest end
+            val earliestEndMs = stillOpen.map(s => (s.lastUs + gapUs) / 1000L).min + 1L
+            state.setTimeoutTimestamp(math.max(earliestEndMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.sortBy(_.startUs).iterator
+            .map(s => SessionOut(user, s.startUs, s.lastUs + gapUs, s.n))
+      }
+  }
+
   /** Per-conversation running state (custom stateful operator shape):
     * tracks turns seen, item count and the max turn_idx per conv via
     * mapGroupsWithState — the durable analog of the reference watcher's

@@ -106,6 +106,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .distinct().count())
   }
 
+  test("flatMapGroupsWithState sessionization equals batch session_window on closed sessions") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime // ms, UTC session
+    def ev(u: Long, minutes: Long) = (u, new java.sql.Timestamp(t0 + minutes * 60000L))
+    val data = Seq(
+      ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 60), ev(1, 75), // two sessions (20 -> 60 gap 40m)
+      ev(2, 5), ev(2, 34), ev(2, 64), ev(2, 200), // 64 - 34 = exactly 30m -> still MERGES
+      ev(3, 0))
+    data.toDF("user_id", "ts").write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, ts TIMESTAMP"))
+        .parquet(inDir)
+      graft.streaming.StreamingExtract.streamingSessions(stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.SessionOut], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    runOnce()
+    // a far-future sentinel event advances the GLOBAL watermark so every
+    // real user's open session times out and closes
+    Seq(ev(999L, 100000L)).toDF("user_id", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    val got = spark.read.parquet(outDir).where("user_id <> 999")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = data.toDF("user_id", "ts")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"sw.start"), unix_micros($"sw.end"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.size >= 5, "fixture must produce several sessions incl. the exact-gap merge")
+  }
+
   test("streaming dedup with an unbounded horizon equals batch Dedup.exact") {
     // the differential: the same input through the batch operator and the
     // stream (horizon so wide no state is ever evicted) must keep the same
