@@ -473,6 +473,41 @@ object SparkEntry {
       |       count(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Span-level duplicated-text coverage (substring-dedup shape). */
+  private def qDupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupSpans(t(spark, dir, "documents"), "doc_id", "text",
+      k = 8, minCount = 2)
+
+  private val oDupSpans =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(tk)::BIGINT AS n_tokens, u.pos,
+      |    ('0x' || substr(md5(array_to_string(list_slice(tk, u.pos + 1, u.pos + 8), ' ')), 1, 15))::BIGINT AS h
+      |  FROM t, unnest(range(0, len(tk) - 8 + 1)) AS u(pos)
+      |  WHERE len(tk) >= 8),
+      |f AS (
+      |  SELECT doc_id, n_tokens, pos FROM (
+      |    SELECT doc_id, n_tokens, pos, count(*) OVER (PARTITION BY h) AS cnt FROM g)
+      |  WHERE cnt >= 2),
+      |m AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+      |  FROM f),
+      |i AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    sum(CASE WHEN max_end IS NULL OR pos > max_end THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m),
+      |s AS (
+      |  SELECT doc_id, n_tokens, island, min(pos) AS st, max(pos + 8) AS en
+      |  FROM i GROUP BY doc_id, n_tokens, island)
+      |SELECT doc_id, n_tokens, count(*) AS n_dup_spans, sum(en - st)::BIGINT AS dup_tokens
+      |FROM s GROUP BY doc_id, n_tokens""".stripMargin
+
   private def qSample(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.deterministicSample(
       t(spark, dir, "documents").select("doc_id", "lang", "n_chars"), "doc_id", 64)
@@ -1113,7 +1148,8 @@ object SparkEntry {
     "q47_quantize_int8" -> (qQuantize _),
     "q48_source_filter" -> (qSourceFilter _),
     "q49_session_window" -> (qSessionWindow _),
-    "q50_contamination_bloom" -> (qContaminationBloom _))
+    "q50_contamination_bloom" -> (qContaminationBloom _),
+    "q51_dup_spans" -> (qDupSpans _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1165,7 +1201,8 @@ object SparkEntry {
     "q47_quantize_int8" -> oQuantize,
     "q48_source_filter" -> oSourceFilter,
     "q49_session_window" -> oSessionWindow,
-    "q50_contamination_bloom" -> oContamination)
+    "q50_contamination_bloom" -> oContamination,
+    "q51_dup_spans" -> oDupSpans)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -81,6 +81,58 @@ object Dedup {
   def md5Hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** NON-distinct word k-grams in position order (index i = token
+    * position of the gram's first token) — same arrays_zip construction
+    * as [[shingles]] (O(n), evaluated once per row), minus the distinct:
+    * positions are the point here. */
+  private def positionalGrams(toksCol: Column, k: Int): Column = {
+    val n = size(toksCol)
+    val zipped = arrays_zip((0 until k).map(j => slice(toksCol, lit(j + 1), n - (k - 1))): _*)
+    val joined = transform(zipped,
+      s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*))
+    when(n >= k, joined).otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Span-level duplicated-text coverage — the substring-dedup shape of
+   * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+   * Better", arXiv:2107.06499), approximated at word k-gram granularity:
+   * a token position is duplicated when its k-gram occurs at least
+   * `minCount` times across the corpus (including intra-document
+   * repeats); per document, the duplicated k-gram spans [pos, pos+k) are
+   * merged (touching spans coalesce) and reported as span count + covered
+   * token count. Documents with no duplicated span are absent.
+   *
+   * Scale shape: one h-keyed window count (the same single-shuffle
+   * spill-capable guard as contamination's df cap — never a pair join),
+   * then doc-keyed interval-merge windows over only the duplicated
+   * positions; everything integer-exact.
+   */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, minCount: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(positionalGrams(col("tk"), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
+        md5Hash60(col("sh")).as("h"))
+    val dup = base
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("__cnt") >= minCount)
+      .select("doc_id", "n_tokens", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    dup
+      .withColumn("__max_end", max(col("pos") + k).over(wPrev))
+      .withColumn("__new",
+        when(col("__max_end").isNull || col("pos") > col("__max_end"), 1L).otherwise(0L))
+      .withColumn("__island", sum("__new").over(wOrd))
+      .groupBy(col("doc_id"), col("n_tokens"), col("__island"))
+      .agg(min("pos").as("__s"), max(col("pos") + k).as("__e"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s")).as("dup_tokens"))
+  }
+
   /**
    * MinHash signatures: sig_i = min over shingles of (a_i*h + c_i) mod P,
    * h = md5-based 60-bit shingle hash mod P.

@@ -139,6 +139,13 @@ object PlansDump {
       "are unchanged because the probe keeps or drops whole h-groups.") {
       SparkEntry.queries("q50_contamination_bloom")(spark, dir).explain("formatted")
     }
+    section("q51 duplicated-span coverage (window count + doc-keyed interval merge)",
+      "Substring-dedup shape: positional k-grams hash into one h-keyed " +
+      "window count (the spill-capable single-shuffle guard), survivors " +
+      "flow into doc-keyed windows that merge overlapping spans — never a " +
+      "pair join, so corpus-common grams cannot explode anything.") {
+      SparkEntry.queries("q51_dup_spans")(spark, dir).explain("formatted")
+    }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +
       "codegen'd HOFs over the embedding array: no shuffle, no UDF — at " +

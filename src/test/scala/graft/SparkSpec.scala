@@ -516,6 +516,26 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast anti-join, got:\n$plan")
   }
 
+  test("duplicated-span coverage merges overlapping spans, counts intra-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                  // shares a-b-c-d-e grams with doc 2
+      (2L, "x y a b c d e q"),
+      (3L, "p q r s t u v w"),                  // fully unique -> absent
+      (4L, "m n o m n o m n o"),                // intra-doc repeats cover everything
+      (5L, "a b c z1 z2 z3 z4 c d e")           // two separated duplicated islands
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.dupSpans(docs, "doc_id", "text", k = 3, minCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens")))
+      .toMap
+    assert(!got.contains(3L), "unique doc has no duplicated span")
+    assert(got(1L) == (1L, 5L), s"overlapping grams merge to one [0,5) span: ${got(1L)}")
+    assert(got(2L) == (1L, 5L))
+    assert(got(4L) == (1L, 9L), "intra-document repetition covers the whole doc")
+    assert(got(5L) == (2L, 6L), s"separated islands stay separate: ${got(5L)}")
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
