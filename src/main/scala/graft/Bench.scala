@@ -111,10 +111,11 @@ object Bench {
     // low-core configs are slow per rep — shrink the protocol to stay
     // within the driver's time budget
     val reps = 3
-    // 3 interleaved rounds at high core counts: the host's CPU delivery can
+    // interleaved rounds at high core counts: the host's CPU delivery can
     // degrade for whole minutes at a time, which best-of-reps inside one
-    // window cannot defend against — more widely-spaced rounds can
-    val nRounds = if (cpus >= 16) 3 else 1
+    // window cannot defend against — more widely-spaced rounds can (the
+    // best-of-rounds and median statistics both get more robust per round)
+    val nRounds = if (cpus >= 16) 4 else 1
     val rounds = (1 to nRounds).map { _ =>
       (pinnedRun(small, scalingTurns, reps), pinnedRun(cpus, scalingTurns, reps, ceilSmall = small))
     }
