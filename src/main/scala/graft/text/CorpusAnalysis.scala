@@ -78,20 +78,33 @@ object CorpusAnalysis {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, benchOutOf256: Int = 16,
                     maxDf: Int = 10000): DataFrame = {
-    // shingles are per-doc distinct, so rows per hash == docs containing
-    // it; the df guard is a window count over the hash — ONE shuffle that
-    // the downstream h-keyed join reuses, instead of a semi-join that
-    // would recompute the shingle explosion twice
     val sh = df.select(col(idCol).as("doc_id"),
         explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
       .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("__df") <= maxDf)
       .drop("__df")
+    sharedWithBench(sh, benchOutOf256)
+  }
+
+  /** Shared tail of the contamination variants: ONE corpus pass. The
+    * df-cap window and the per-h groupBy share the same hash partitioning
+    * (one Exchange); per-h groups are bounded by the cap, so the collect
+    * is bounded the same way as the candidate-pair skew guards. Exploding
+    * docs x bench-ids inside each h-group produces exactly the rows the
+    * previous formulation got from a self-join whose bench side RE-RAN
+    * the whole corpus shingle pass. */
+  private def sharedWithBench(sh: DataFrame, benchOutOf256: Int): DataFrame = {
     val bound = f"$benchOutOf256%02x"
-    val bench = sh.where(substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
-      .select(col("doc_id").as("bench_id"), col("h"))
-    sh.join(bench, Seq("h"))
+    val grouped = sh
+      .withColumn("is_bench",
+        substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
+      .groupBy("h")
+      .agg(collect_list(col("doc_id")).as("ids"),
+        collect_list(when(col("is_bench"), col("doc_id"))).as("bench_ids"))
+      .where(size(col("bench_ids")) > 0)
+    grouped.select(col("h"), explode(col("ids")).as("doc_id"), col("bench_ids"))
+      .select(col("h"), col("doc_id"), explode(col("bench_ids")).as("bench_id"))
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id")
       .agg(countDistinct("h").as("n_shared_ngrams"),
@@ -133,13 +146,7 @@ object CorpusAnalysis {
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
       .where(col("__df") <= maxDf)
       .drop("__df")
-    val bench = sh.where(substring(md5(col("doc_id").cast("string")), 1, 2) < bound)
-      .select(col("doc_id").as("bench_id"), col("h"))
-    sh.join(bench, Seq("h"))
-      .where(col("doc_id") =!= col("bench_id"))
-      .groupBy("doc_id")
-      .agg(countDistinct("h").as("n_shared_ngrams"),
-        countDistinct("bench_id").as("n_bench_docs"))
+    sharedWithBench(sh, benchOutOf256)
   }
 
   /** Source/domain blocklist filtering (the C4-style badlist step): a

@@ -78,11 +78,13 @@ object PlansDump {
       "singleton buckets never enter the join either.") {
       SparkEntry.queries("q25_ann_lsh")(spark, dir).explain("formatted")
     }
-    section("q37 contamination (document-frequency-capped shingle join)",
-      "Shingle hashes with corpus df above the cap are semi-joined out " +
-      "before the bench join — a boilerplate 8-gram shared by millions of " +
-      "docs never becomes a hot join key. Both sides of the join read the " +
-      "capped set.") {
+    section("q37 contamination (ONE corpus pass: df-cap window + per-h group share an Exchange)",
+      "Shingle hashes with corpus df above the cap are dropped by a window " +
+      "count, then docs x bench-ids pairs are exploded inside each h-group " +
+      "— the window and the groupBy share one hash partitioning, so the " +
+      "corpus shingle explosion is scanned and shuffled exactly once " +
+      "(the previous join formulation re-ran it for the bench side). " +
+      "Per-h groups are bounded by the cap, so the collect is bounded too.") {
       SparkEntry.queries("q37_contamination")(spark, dir).explain("formatted")
     }
     section("Token-blocked fuzzy matcher (equi-join before scoring)",
@@ -135,7 +137,7 @@ object PlansDump {
       "aggregated into a broadcast bloom filter and probed MAP-SIDE before " +
       "the df-cap window, so the h-keyed Exchange carries only " +
       "might-be-bench shingles (~|bench| x 1.01) instead of every corpus " +
-      "shingle. False positives die at the exact equi-join; per-h df counts " +
+      "shingle. False positives match no bench id in their h-group; per-h df counts " +
       "are unchanged because the probe keeps or drops whole h-groups.") {
       SparkEntry.queries("q50_contamination_bloom")(spark, dir).explain("formatted")
     }
