@@ -36,9 +36,12 @@ object CorpusAnalysis {
                        topK: Int = 5): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency as a window count over the (doc, term) rows —
+    // rows per term == docs containing it (tf is per-doc distinct). ONE
+    // token-explosion pass; the join formulation re-ran the explode and
+    // groupBy for the df side.
     val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("term"))
-    tf.join(dfreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
       .select("doc_id", "rank", "term", "tf", "df")
@@ -171,10 +174,18 @@ object CorpusAnalysis {
     val lines = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
       .select(col("doc_id"), lower(trim(col("line"))).as("norm"))
-    val freq = lines.distinct().groupBy("norm").agg(count(lit(1)).as("docs_with_line"))
-    lines.join(freq, Seq("norm"))
+    // ONE corpus explode: collapse to per-(doc, line) instance counts,
+    // read the distinct-doc frequency off a window over the collapsed rows
+    // (rows per norm == docs containing it), then fold per doc. The
+    // distinct+join formulation re-ran the line explosion for the
+    // frequency side; no unbounded per-line state appears here either —
+    // a line shared by millions of docs is just a big window partition,
+    // which the window count handles spill-free.
+    val perDocLine = lines.groupBy("doc_id", "norm").agg(count(lit(1)).as("cnt"))
+    perDocLine
+      .withColumn("docs_with_line", count(lit(1)).over(Window.partitionBy("norm")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("docs_with_line") >= minDocs, 1L).otherwise(0L)).as("n_boiler_lines"))
+      .agg(sum("cnt").as("n_lines"),
+        sum(when(col("docs_with_line") >= minDocs, col("cnt")).otherwise(0L)).as("n_boiler_lines"))
   }
 }
