@@ -141,6 +141,15 @@ object PlansDump {
       "are unchanged because the probe keeps or drops whole h-groups.") {
       SparkEntry.queries("q50_contamination_bloom")(spark, dir).explain("formatted")
     }
+    section("q49 native session windows (one user-keyed Exchange, streaming-capable)",
+      "Gap sessionization through Spark's SessionWindow aggregation: one " +
+      "hash Exchange on user_id, sessions merged inside the aggregate — " +
+      "the same operator runs under a watermark in Structured Streaming, " +
+      "and the custom-state closed-session emitter " +
+      "(StreamingExtract.streamingSessions) is differentially tested " +
+      "against this batch plan.") {
+      SparkEntry.queries("q49_session_window")(spark, dir).explain("formatted")
+    }
     section("q51 duplicated-span coverage (window count + doc-keyed interval merge)",
       "Substring-dedup shape: positional k-grams hash into one h-keyed " +
       "window count (the spill-capable single-shuffle guard), survivors " +

@@ -148,6 +148,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size >= 5, "fixture must produce several sessions incl. the exact-gap merge")
   }
 
+  test("streaming sessionization merges two open sessions when a bridging event arrives late") {
+    import org.apache.spark.sql.functions._
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sessmerge").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ev(u: Long, minutes: Long) = (u, new java.sql.Timestamp(t0 + minutes * 60000L))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, ts TIMESTAMP"))
+        .parquet(inDir)
+      graft.streaming.StreamingExtract
+        .streamingSessions(stream, gapMinutes = 30, lateness = "2 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.SessionOut], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    // batch 1: two open sessions [0,30) and [40,70); nothing closes (2h lateness)
+    Seq(ev(7, 0), ev(7, 40)).toDF("user_id", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    // batch 2: the bridge at minute 25 ([25,55)) overlaps BOTH open sessions
+    Seq(ev(7, 25)).toDF("user_id", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    Seq(ev(999L, 100000L)).toDF("user_id", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    val got = spark.read.parquet(outDir).where("user_id = 7")
+      .select("session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val us = 60000000L
+    val t0us = t0 * 1000L
+    assert(got == Set((t0us, t0us + 70L * us, 3L)),
+      s"bridge must merge the two open sessions into [t0, t0+70min): $got")
+  }
+
   test("streaming dedup with an unbounded horizon equals batch Dedup.exact") {
     // the differential: the same input through the batch operator and the
     // stream (horizon so wide no state is ever evicted) must keep the same
