@@ -161,7 +161,8 @@ object Bench {
       "q39_asof_join", "q40_range_join", "q41_blocked_match",
       "q43_repetition", "q44_corpus_filter", "q45_stratified_sample",
       "q46_pack_sequences", "q47_quantize_int8", "q48_source_filter",
-      "q49_session_window", "q50_contamination_bloom", "q51_dup_spans")
+      "q49_session_window", "q50_contamination_bloom", "q51_dup_spans",
+      "q52_cluster_best")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

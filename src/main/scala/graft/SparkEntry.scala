@@ -1081,7 +1081,11 @@ object SparkEntry {
     * proves the banded candidate generation + verify recovers exactly the
     * clusters exhaustive comparison finds (at 16 bands x 2 rows the
     * per-pair miss probability at j>=0.9 is (1-j^2)^16 ~ 3e-12). */
-  private val oLshDedup =
+  /** Exhaustive all-pairs near-dup clusters as CTEs (shared by the q34 and
+    * q52 oracles): brute-force Jaccard pairs + recursive-CTE connected
+    * components — deliberately NOT the LSH path, so green means the banded
+    * path recovers exactly what brute force finds. */
+  private val lshClusterCtes =
     s"""WITH RECURSIVE ${toksSql(3)},
        |pairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b
@@ -1093,8 +1097,31 @@ object SparkEntry {
        |reach(u, v) AS (
        |  SELECT u, v FROM edges
        |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""".stripMargin
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |clusters AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
+  private val oLshDedup =
+    s"""$lshClusterCtes
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** Keep-best dedup representatives: longest doc per cluster, tie min id. */
+  private def qClusterBest(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.clusterRepresentatives(
+      t(spark, dir, "documents"), "doc_id", "text", scoreCol = "n_chars")
+
+  private val oClusterBest =
+    s"""$lshClusterCtes,
+       |scored AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM clusters c JOIN documents d USING (doc_id)),
+       |sel AS (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM scored)
+       |SELECT cluster_id, n_members, doc_id AS keeper_id, n_chars AS keeper_score
+       |FROM sel WHERE rn = 1""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -1149,7 +1176,8 @@ object SparkEntry {
     "q48_source_filter" -> (qSourceFilter _),
     "q49_session_window" -> (qSessionWindow _),
     "q50_contamination_bloom" -> (qContaminationBloom _),
-    "q51_dup_spans" -> (qDupSpans _))
+    "q51_dup_spans" -> (qDupSpans _),
+    "q52_cluster_best" -> (qClusterBest _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1202,7 +1230,8 @@ object SparkEntry {
     "q48_source_filter" -> oSourceFilter,
     "q49_session_window" -> oSessionWindow,
     "q50_contamination_bloom" -> oContamination,
-    "q51_dup_spans" -> oDupSpans)
+    "q51_dup_spans" -> oDupSpans,
+    "q52_cluster_best" -> oClusterBest)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

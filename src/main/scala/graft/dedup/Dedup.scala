@@ -275,6 +275,31 @@ object Dedup {
   }
 
   /**
+   * Representative selection for near-dup clusters: a real dedup keeps the
+   * BEST copy of each duplicate family (here: highest `scoreCol`, tie ->
+   * smallest id), not an arbitrary member. Composes [[lshDedupClusters]]
+   * with a per-cluster argmax; the windows are over cluster-sized groups,
+   * bounded by duplicate-family size. Docs in no cluster are their own
+   * keeper by definition — the output surfaces duplicate families only.
+   */
+  def clusterRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                             scoreCol: String,
+                             k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+                             threshold: Double = 0.5): DataFrame = {
+    val clusters = lshDedupClusters(df, idCol, textCol, k, bands, rowsPerBand, threshold)
+    val scored = clusters.join(
+      df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")), Seq("doc_id"))
+    val w = Window.partitionBy("cluster_id")
+    val wOrd = w.orderBy(desc("__score"), asc("doc_id"))
+    scored
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("keeper_id"), col("__score").as("keeper_score"))
+  }
+
+  /**
    * SimHash signature as 4 x 16-bit blocks (array<long>, values in
    * [0, 0xFFFF]): bit g of the 64-bit signature is set when the sign-sum
    * over tokens of bit g of the token hash is positive. Token hashes are

@@ -536,6 +536,24 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == (2L, 6L), s"separated islands stay separate: ${got(5L)}")
   }
 
+  test("cluster representatives keep the best-scored member, tie-break min id") {
+    import spark.implicits._
+    // two near-dup families built from shared token runs (jaccard ~1.0)
+    val fam1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fam2 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq(
+      (10L, fam1, 100L), (11L, fam1, 300L), (12L, fam1, 300L), // tie on 300 -> keeper 11
+      (20L, fam2, 50L), (21L, fam2, 40L),                      // keeper 20
+      (30L, "completely unrelated text with its own words here today", 999L) // singleton
+    ).toDF("doc_id", "text", "score")
+    val reps = graft.dedup.Dedup.clusterRepresentatives(
+      docs, "doc_id", "text", scoreCol = "score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(reps.keySet == Set(10L, 20L), s"two duplicate families, no singleton rows: $reps")
+    assert(reps(10L) == (3L, 11L, 300L), s"max score then min id wins: ${reps(10L)}")
+    assert(reps(20L) == (2L, 20L, 50L))
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
