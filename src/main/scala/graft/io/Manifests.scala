@@ -59,6 +59,34 @@ object Manifests {
   }
 
   /**
+   * Consistent read of a [[resumableExtract]] output — the Iceberg reader
+   * guarantee: ONLY chunks whose manifest committed are visible, so an
+   * in-flight or crashed chunk write (data files present, no manifest)
+   * never leaks into a read. With `verify = true` each chunk is audited
+   * against its manifest's row count and order-independent content
+   * checksum before being served (the "validate snapshot integrity" read
+   * path); the audit is one aggregate per chunk over columns the scan
+   * already reads.
+   */
+  def readCommitted(spark: SparkSession, outDir: String,
+                    verify: Boolean = false): DataFrame = {
+    val ms = readManifests(outDir)
+    require(ms.nonEmpty, s"no committed chunks under $outDir")
+    if (verify) ms.foreach { m =>
+      val row = spark.read.parquet(s"$outDir/chunk=${m.chunk}")
+        .agg(count(lit(1)).as("rows"),
+          coalesce(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
+            .as("checksum"))
+        .head()
+      require(row.getLong(0) == m.rows && row.getLong(1) == m.checksum,
+        s"chunk ${m.chunk} fails manifest audit: rows ${row.getLong(0)}/${m.rows}, " +
+          s"checksum ${row.getLong(1)}/${m.checksum}")
+    }
+    ms.map(m => spark.read.parquet(s"$outDir/chunk=${m.chunk}"))
+      .reduce(_ unionByName _)
+  }
+
+  /**
    * Run the extraction over `turns` resumably. Returns the number of chunks
    * actually executed (committed chunks are skipped).
    */

@@ -102,6 +102,28 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == 300L)
   }
 
+  test("committed-only read hides uncommitted chunks and audits checksums") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapshot").toString
+    val turns = graft.io.Transcripts.generateDF(spark, 200L)
+    graft.io.Manifests.resumableExtract(spark, turns, dir, nChunks = 4, numPartitions = 4, salt = 2)
+    val full = graft.io.Manifests.readCommitted(spark, dir, verify = true)
+    assert(full.count() == 200L)
+    // simulate a crashed in-flight chunk: data files exist, manifest gone —
+    // a consistent reader must not see it
+    val m2 = graft.io.Manifests.readManifests(dir).find(_.chunk == 2).get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest", "chunk-00002.json"))
+    val partial = graft.io.Manifests.readCommitted(spark, dir, verify = true)
+    assert(partial.count() == 200L - m2.rows)
+    // corrupt a committed chunk's data (drop one part file): the audit read
+    // must refuse it, the plain read (Iceberg's no-verify fast path) won't
+    val chunk0 = new java.io.File(s"$dir/chunk=0")
+    val part = chunk0.listFiles().filter(_.getName.startsWith("part-")).head
+    assert(part.delete())
+    intercept[IllegalArgumentException] {
+      graft.io.Manifests.readCommitted(spark, dir, verify = true).count()
+    }
+  }
+
   test("WRatio broadcast match assigns bands as the reference thresholds do") {
     import spark.implicits._
     val items = Seq(
