@@ -98,11 +98,18 @@ object Similarity {
     // window count over the bucket key: one shuffle, no second pass over
     // the bucket-id expression; oversized/singleton buckets are dropped
     // before the self-join (the count pass spills, never OOMs)
+    // localCheckpoint: the bucketed working set feeds BOTH sides of the
+    // self-join, and without lineage truncation each side re-runs the scan,
+    // the nPlanes x dim hyperplane dot products AND the bucket shuffle
+    // (the two subplans do not share an Exchange — verified in PLANS.md).
+    // The materialized set is (id, v, bucket) of the non-singleton capped
+    // buckets — at most the corpus, usually far less.
     val vv = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planeWeights(nPlanes, dim)))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
       .where(col("__n").between(2, maxBucket))
       .drop("__n")
+      .localCheckpoint()
     val a = vv.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = vv.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
