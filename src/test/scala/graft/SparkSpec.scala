@@ -102,6 +102,15 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == 300L)
   }
 
+  test("driver contract: every query has an oracle and vice versa") {
+    // a queries entry without an oracleSql entry silently downgrades to a
+    // rows-only check in the driver; an orphan oracle is dead SQL
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"mismatch: ${(SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet) ++
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet)}")
+    assert(SparkEntry.queries.size >= 52)
+  }
+
   test("committed-only read hides uncommitted chunks and audits checksums") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snapshot").toString
     val turns = graft.io.Transcripts.generateDF(spark, 200L)
