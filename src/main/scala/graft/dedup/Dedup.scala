@@ -21,9 +21,15 @@ import org.apache.spark.sql.expressions.Window
  *    worst-case degenerate bucket (the cap is part of the operator's
  *    semantics, mirrored by the SQL oracle, not a silent drop);
  *  - verify: exact n-gram Jaccard joined to ONLY the candidate pairs;
- *  - clusters: iterative min-label propagation with per-round
- *    localCheckpoint (lineage truncation; blocks are GC-released by the
- *    ContextCleaner once a round's labels are dereferenced).
+ *  - clusters: driver union-find under a bounded edge cap, alternating
+ *    star contraction above it, with per-round localCheckpoint (lineage
+ *    truncation; blocks are GC-released by the ContextCleaner once a
+ *    round's labels are dereferenced);
+ *  - the only materialized state anywhere is PAIR-sized: the end-to-end
+ *    chain localCheckpoints its candidate and verified pair tables once
+ *    (each feeds several consumers; without truncation every reuse
+ *    re-runs the corpus-wide signature pass). Corpus-sized data is never
+ *    cached or persisted.
  *
  * Hashing is PORTABLE by construction: every hash is derived from md5 of
  * the shingle/token text plus affine mixing mod a Mersenne prime, so the
