@@ -156,7 +156,7 @@ object Bench {
       "q07_group_stats", "q10_topk", "q11_fuzzy_topk", "q12_dedup_exact",
       "q15_token_counts", "q17_sessionize", "q18_extract_turns",
       "q19_extract_items", "q21_minhash_candidates", "q22_simhash_candidates",
-      "q24_ann_topk", "q26_multimodal_meta", "q30_ann_ivf", "q34_lsh_dedup",
+      "q24_ann_topk", "q25_ann_lsh", "q26_multimodal_meta", "q30_ann_ivf", "q34_lsh_dedup",
       "q35_distinctive_terms", "q37_contamination", "q38_boilerplate",
       "q39_asof_join", "q40_range_join", "q41_blocked_match",
       "q43_repetition", "q44_corpus_filter", "q45_stratified_sample",
