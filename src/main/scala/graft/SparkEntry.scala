@@ -1105,6 +1105,19 @@ object SparkEntry {
     s"""$lshClusterCtes
        |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
+  /** CCNet-shaped lexical commonness score (integer-exact statistic). */
+  private def qLexicalCommonness(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.lexicalCommonness(t(spark, dir, "documents"), "doc_id", "text")
+
+  private val oLexicalCommonness =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |f AS (SELECT doc_id, count(*) OVER (PARTITION BY term) AS freq FROM toks)
+      |SELECT doc_id, count(*) AS n_tokens, sum(freq)::BIGINT AS sum_token_freq,
+      |  sum(freq)::DOUBLE / count(*)::DOUBLE AS mean_token_freq
+      |FROM f GROUP BY doc_id""".stripMargin
+
   /** Keep-best dedup representatives: longest doc per cluster, tie min id. */
   private def qClusterBest(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.clusterRepresentatives(
@@ -1177,7 +1190,8 @@ object SparkEntry {
     "q49_session_window" -> (qSessionWindow _),
     "q50_contamination_bloom" -> (qContaminationBloom _),
     "q51_dup_spans" -> (qDupSpans _),
-    "q52_cluster_best" -> (qClusterBest _))
+    "q52_cluster_best" -> (qClusterBest _),
+    "q53_lexical_commonness" -> (qLexicalCommonness _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1231,7 +1245,8 @@ object SparkEntry {
     "q49_session_window" -> oSessionWindow,
     "q50_contamination_bloom" -> oContamination,
     "q51_dup_spans" -> oDupSpans,
-    "q52_cluster_best" -> oClusterBest)
+    "q52_cluster_best" -> oClusterBest,
+    "q53_lexical_commonness" -> oLexicalCommonness)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -152,6 +152,32 @@ object CorpusAnalysis {
     sharedWithBench(sh, benchOutOf256)
   }
 
+  /**
+   * Corpus-relative lexical commonness — the CCNet/KenLM-shaped quality
+   * signal with an integer-exact statistic: each token's corpus-wide
+   * occurrence count, summed (and averaged by one division) per document.
+   * Documents of frequent, ordinary words score high; jargon/noise/
+   * gibberish-heavy documents score low — the filter band is picked
+   * downstream, exactly like a perplexity band. An LM log-prob mean would
+   * be float-accumulation-order-dependent; integer counts make the score
+   * bit-exact and oracle-checkable.
+   *
+   * ONE corpus token pass: the per-term frequency is a window count over
+   * the exploded tokens (term-keyed, spill-capable — a groupBy+join-back
+   * would re-run the explosion), then one doc-keyed fold. No global rank,
+   * no vocab-sized sort — scales as two keyed shuffles.
+   */
+  def lexicalCommonness(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    toks
+      .withColumn("__freq", count(lit(1)).over(Window.partitionBy("term")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__freq").as("sum_token_freq"))
+      .withColumn("mean_token_freq",
+        col("sum_token_freq").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Source/domain blocklist filtering (the C4-style badlist step): a
     * broadcast LEFT ANTI join — the blocklist is dimension-sized by
     * definition, so the corpus never shuffles; at 100 TB this is a

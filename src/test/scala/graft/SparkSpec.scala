@@ -585,6 +585,26 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reps(20L) == (2L, 20L, 50L))
   }
 
+  test("lexical commonness scores ordinary-word docs above jargon docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),            // all corpus-frequent words
+      (2L, "the dog sat on the mat"),
+      (3L, "zyqx qwfp vbnm zzyy kkjj xxqq"),     // all hapax tokens
+      (4L, "")                                   // empty -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.text.CorpusAnalysis.lexicalCommonness(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_token_freq"),
+          r.getAs[Double]("mean_token_freq"))).toMap
+    assert(!got.contains(4L))
+    // doc 3: six tokens, each freq 1 -> sum 6, mean 1.0
+    assert(got(3L) == (6L, 6L, 1.0))
+    // docs 1/2: "the"(x4 corpus-wide), sat/on/mat (x2), cat|dog (x1)
+    assert(got(1L) == (6L, 4L + 4L + 2L + 2L + 2L + 1L, 15.0 / 6.0))
+    assert(got(1L)._3 > got(3L)._3, "ordinary words outscore hapax jargon")
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
