@@ -150,6 +150,14 @@ object PlansDump {
       "against this batch plan.") {
       SparkEntry.queries("q49_session_window")(spark, dir).explain("formatted")
     }
+    section("q53 lexical commonness (one token pass: term-window freq + doc fold)",
+      "The CCNet-shaped quality signal with an integer statistic: term " +
+      "frequency comes from a window count over the exploded tokens (one " +
+      "term-keyed Exchange, spill-capable) and the per-doc fold is one " +
+      "more keyed aggregate — no vocab-sized global sort, no join-back " +
+      "re-running the explosion, bit-exact against the oracle.") {
+      SparkEntry.queries("q53_lexical_commonness")(spark, dir).explain("formatted")
+    }
     section("q51 duplicated-span coverage (window count + doc-keyed interval merge)",
       "Substring-dedup shape: positional k-grams hash into one h-keyed " +
       "window count (the spill-capable single-shuffle guard), survivors " +
