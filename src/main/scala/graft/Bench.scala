@@ -232,11 +232,18 @@ object Bench {
     // doubles the true bus traffic) — compare with a single socket's
     // practical memory bandwidth in BASELINE.md
     val allocGbps = thrBig * allocPerTurn / 1e9
+    // HEADLINE fields are the per-round PAIRED medians (each round's raw
+    // efficiency and its normalized ratio are measured within the same
+    // minutes-wide host window): BASELINE.md's defended statistic. The
+    // former mixed-window values (best-of-rounds raw over max-of-rounds
+    // ceiling) systematically understate a clean result when one round
+    // collapses — kept as *_legacy for continuity with BENCH_r01-r03.
     val scaling =
       f"""{"cores_small":$small,"cores_big":$cpus,"turns":$scalingTurns,""" +
       f""""sec_small":${rSmall.bestSec}%.3f,"sec_big":${rBig.bestSec}%.3f,""" +
       f""""turns_per_sec_small":$thrSmall%.1f,"turns_per_sec_big":$thrBig%.1f,""" +
-      f""""efficiency":$efficiency%.3f,""" +
+      f""""efficiency":$rawMedian%.3f,""" +
+      f""""efficiency_legacy":$efficiency%.3f,""" +
       f""""machine_ceiling_efficiency":$ceilingEff%.3f,""" +
       f""""engine_thread_efficiency":$engineEff%.3f,""" +
       f""""rounds":$roundsJson,""" +
@@ -246,7 +253,8 @@ object Bench {
       f""""membw_scaling":$bwScaling%.3f,""" +
       f""""alloc_bytes_per_turn":$allocPerTurn%.0f,""" +
       f""""alloc_gb_per_sec_at_big":$allocGbps%.2f,""" +
-      f""""efficiency_vs_ceiling":$normalizedEff%.3f}"""
+      f""""efficiency_vs_ceiling":$normMedian%.3f,""" +
+      f""""efficiency_vs_ceiling_legacy":$normalizedEff%.3f}"""
     val totalS = f"$total%.3f"
     val thrS = f"$thrBig%.1f"
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","turns_per_sec":$thrS,"scaling":$scaling}""")

@@ -92,7 +92,14 @@ object ScalingRunner {
     * evidence behind the scaling ceiling (a real 4N-node cluster brings
     * 4x this resource, one VM does not). */
   def memBandwidthGBps(threads: Int): Double = {
-    val perThreadLongs = (64 << 20) / 8
+    // cap the probe's TOTAL footprint at 1 GiB (per-thread slice shrinks as
+    // threads grow, floor 8 MiB so each stream stays DRAM-bound, far past
+    // L2/L3 slices) — the former fixed 64 MiB/thread was 2 GiB at 32 CPUs
+    // inside a child heap that is only 8g on small hosts, enough to GC-skew
+    // the Spark scaling phase that follows (ADVICE r3). The arrays are
+    // method-local, so they are unreachable the moment this returns.
+    val perThreadBytes = math.max(8L << 20, (1L << 30) / threads)
+    val perThreadLongs = (perThreadBytes / 8).toInt
     val arrays = Array.fill(threads)(new Array[Long](perThreadLongs))
     arrays.foreach { a => var i = 0; while (i < a.length) { a(i) = i; i += 1 } }
     val sink = new java.util.concurrent.atomic.AtomicLong()

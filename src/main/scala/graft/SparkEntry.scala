@@ -720,9 +720,19 @@ object SparkEntry {
    * differential (tools/wratio_check.py).
    */
   private def goldenOracleSql(name: String): String = {
-    val dir = new java.io.File("src/test/resources/golden").getAbsolutePath
+    // resolve the golden dir explicitly (-Dgraft.golden.dir / GRAFT_GOLDEN_DIR)
+    // with the repo-root CWD layout as the fallback; fail LOUDLY here rather
+    // than let DuckDB surface an opaque read_parquet error when Verify runs
+    // from a different working directory
+    val dir = sys.props.get("graft.golden.dir")
+      .orElse(sys.env.get("GRAFT_GOLDEN_DIR"))
+      .getOrElse(new java.io.File("src/test/resources/golden").getAbsolutePath)
+    val f = new java.io.File(dir, s"$name.parquet")
+    require(f.isFile,
+      s"golden parquet not found: $f — run from the repo root, or point " +
+        "-Dgraft.golden.dir / GRAFT_GOLDEN_DIR at src/test/resources/golden")
     s"""SELECT * EXCLUDE (n_turns)
-       |FROM read_parquet('$dir/$name.parquet')
+       |FROM read_parquet('${f.getAbsolutePath}')
        |WHERE n_turns = (SELECT greatest(500, count(*) // 60) FROM lineitem)""".stripMargin
   }
 

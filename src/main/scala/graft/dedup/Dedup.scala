@@ -491,8 +491,21 @@ object Dedup {
   /** Exact min-label connected components on the driver: union-find with
     * path compression, roots kept at the component minimum (union always
     * attaches the larger root under the smaller), so find(x) IS the
-    * component's min id. Only reached under `driverCap` with integral ids. */
+    * component's min id. Only reached under `driverCap` with integral ids.
+    *
+    * Driver footprint: edges arrive as ONE packed Array[Long] (u,v
+    * interleaved — 32 MB at the 2M-edge cap, never millions of boxed Row
+    * objects), nodes as one Array[Long]; the union-find map itself is the
+    * larger resident cost (~50 B/node boxed), still bounded by 2x the edge
+    * cap plus the node count and independent of corpus size. */
   private def unionFindLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val edgeArr: Array[Long] = edges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .rdd.mapPartitions(it => it.flatMap(r => Iterator(r.getLong(0), r.getLong(1))))
+      .collect()
+    val nodeArr: Array[Long] = nodes.select(col("id").cast("long"))
+      .rdd.mapPartitions(it => it.map(_.getLong(0)))
+      .collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var r = x0
@@ -502,18 +515,18 @@ object Dedup {
       r
     }
     def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
-    edges.collect().foreach { row =>
-      val u = row.get(0).asInstanceOf[Number].longValue
-      val v = row.get(1).asInstanceOf[Number].longValue
+    var i = 0
+    while (i < edgeArr.length) {
+      val u = edgeArr(i); val v = edgeArr(i + 1)
       add(u); add(v)
       val ru = find(u); val rv = find(v)
       if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+      i += 2
     }
-    val allNodes = nodes.collect().map(_.get(0).asInstanceOf[Number].longValue)
-    allNodes.foreach(add)
+    nodeArr.foreach(add)
     val spark = nodes.sparkSession
     import spark.implicits._
-    allNodes.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
+    nodeArr.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
   }
 
   /** First-wins dedup window (A1 at corpus level): one row per key, winner =
