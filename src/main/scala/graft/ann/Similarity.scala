@@ -95,21 +95,20 @@ object Similarity {
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                    nPlanes: Int = 12, threshold: Double = 0.9,
                    maxBucket: Int = 10000): DataFrame = {
-    // window count over the bucket key: one shuffle, no second pass over
-    // the bucket-id expression; oversized/singleton buckets are dropped
-    // before the self-join (the count pass spills, never OOMs)
-    // localCheckpoint: the bucketed working set feeds BOTH sides of the
-    // self-join, and without lineage truncation each side re-runs the scan,
-    // the nPlanes x dim hyperplane dot products AND the bucket shuffle
-    // (the two subplans do not share an Exchange — verified in PLANS.md).
-    // The materialized set is (id, v, bucket) of the non-singleton capped
-    // buckets — at most the corpus, usually far less.
-    val vv = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // localCheckpoint FIRST: the bucketed working set feeds the bucket
+    // count, then BOTH sides of the self-join — without lineage truncation
+    // each consumer re-runs the scan and the nPlanes x dim hyperplane dot
+    // products. Off the materialized set, the over-cap bucket guard
+    // (graft.skew.KeyCaps) costs nothing extra: a map-side-combinable
+    // groupBy count plus a broadcast anti-join, so a degenerate hot
+    // bucket's rows are dropped map-side and never serialize through one
+    // count task (the former window count had no partial aggregation).
+    // Singleton buckets stay in the join input — a 1-row bucket joins only
+    // itself and dies at id_a < id_b, costing nothing.
+    val vv0 = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planeWeights(nPlanes, dim)))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .where(col("__n").between(2, maxBucket))
-      .drop("__n")
       .localCheckpoint()
+    val vv = graft.skew.KeyCaps.dropOverCapKeys(vv0, Seq("bucket"), maxBucket)
     val a = vv.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = vv.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))

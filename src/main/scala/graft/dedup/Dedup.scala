@@ -109,10 +109,13 @@ object Dedup {
    * merged (touching spans coalesce) and reported as span count + covered
    * token count. Documents with no duplicated span are absent.
    *
-   * Scale shape: one h-keyed window count (the same single-shuffle
-   * spill-capable guard as contamination's df cap — never a pair join),
+   * Scale shape: gram frequencies from a map-side-combinable groupBy
+   * count applied as a semi-join (graft.skew.KeyCaps — both the
+   * duplicated and unique gram-key sets are unbounded, so neither side
+   * broadcasts, but AQE can skew-split the semi-join where a window count
+   * would serialize a boilerplate gram's positions through one task),
    * then doc-keyed interval-merge windows over only the duplicated
-   * positions; everything integer-exact.
+   * positions; everything integer-exact, never a pair join.
    */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 8, minCount: Int = 2): DataFrame = {
@@ -121,9 +124,7 @@ object Dedup {
         posexplode(positionalGrams(col("tk"), k)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
         md5Hash60(col("sh")).as("h"))
-    val dup = base
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("__cnt") >= minCount)
+    val dup = graft.skew.KeyCaps.keepKeysWithCountAtLeast(base, Seq("h"), minCount)
       .select("doc_id", "n_tokens", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -187,19 +188,22 @@ object Dedup {
     * bucket that large is a degenerate collision class, not a near-dup
     * set. */
   private def pairsWithinBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // bucket sizes via a window over the SAME key as the grouping: one
-    // shuffle total (the groupBy reuses the window's hash partitioning),
-    // one pass over the input (a semi-join pre-count would recompute the
-    // signature expression for both passes), and oversized buckets are
-    // dropped BEFORE collect_list materializes them — the window's count
-    // pass buffers with spill (UnsafeExternalSorter), so a degenerate
-    // bucket costs disk, never an aggregation-buffer OOM
-    val wb = Window.partitionBy("band", "bucket")
-    val grouped = banded
-      .withColumn("__n", count(lit(1)).over(wb))
-      .where(col("__n").between(2, maxBucket))
+    // broadcast-hot-set guard (graft.skew.KeyCaps): bucket sizes from a
+    // map-side-combinable groupBy count, over-cap buckets dropped by a
+    // broadcast anti-join BEFORE their rows enter the bucket exchange or
+    // collect_list materializes them. A degenerate bucket's rows are
+    // filtered map-side and never serialize through any single task —
+    // unlike the former window count, which had no partial aggregation and
+    // scanned the whole hot bucket in one task before dropping it. The
+    // count pass recomputes the signature expressions once more (pure
+    // map-side, embarrassingly parallel — the right trade at corpus
+    // scale). Singleton buckets emit no pairs and are dropped after the
+    // aggregation (1-element lists — no extra shuffle).
+    val grouped = graft.skew.KeyCaps
+      .dropOverCapKeys(banded, Seq("band", "bucket"), maxBucket)
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
     grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -351,14 +355,14 @@ object Dedup {
     val sigs = simhashBlocks(df, idCol, textCol)
     val banded = sigs.select(col(idCol).as("id"), col("blocks"),
       posexplode(col("blocks")).as(Seq("block", "block_val")))
-    // same single-shuffle window-count guard as pairsWithinBuckets:
-    // oversized buckets are excluded BEFORE collect_list materializes them
-    val wb = Window.partitionBy("block", "block_val")
-    val grouped = banded
-      .withColumn("__n", count(lit(1)).over(wb))
-      .where(col("__n").between(2, maxBucket))
+    // same broadcast-hot-set guard as pairsWithinBuckets: combinable
+    // groupBy count + broadcast anti-join drops a degenerate block's rows
+    // map-side before the bucket exchange; singletons fall out post-agg
+    val grouped = graft.skew.KeyCaps
+      .dropOverCapKeys(banded, Seq("block", "block_val"), maxBucket)
       .groupBy("block", "block_val")
       .agg(sort_array(collect_list(struct(col("id"), col("blocks")))).as("ms"))
+      .where(size(col("ms")) >= 2)
     grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

@@ -36,12 +36,18 @@ object CorpusAnalysis {
                        topK: Int = 5): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // document frequency as a window count over the (doc, term) rows —
-    // rows per term == docs containing it (tf is per-doc distinct). ONE
-    // token-explosion pass; the join formulation re-ran the explode and
-    // groupBy for the df side.
+    // document frequency via a map-side-combinable groupBy over the SAME
+    // aggregated tf rows, joined back on term. NOT a window count over
+    // partitionBy(term): a window gets no partial aggregation, so a
+    // stopword's df partition is n_docs rows serialized through ONE task —
+    // the groupBy's partial_count collapses every map partition's share of
+    // a hot term to one row before the term Exchange, and the join back is
+    // a sort-merge join AQE can skew-split. The (doc, term) shuffle feeding
+    // tf appears in both branches and is planned once (reused exchange);
+    // the per-doc rank window only ever sees one document's distinct terms.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("df"), asc("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    tf.join(dfreq, Seq("term"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
       .select("doc_id", "rank", "term", "tf", "df")
@@ -81,12 +87,15 @@ object CorpusAnalysis {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, benchOutOf256: Int = 16,
                     maxDf: Int = 10000): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
+    val raw = df.select(col(idCol).as("doc_id"),
         explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
       .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("__df") <= maxDf)
-      .drop("__df")
+    // broadcast-hot-set df cap (graft.skew.KeyCaps): over-cap shingles
+    // (<= |rows|/maxDf keys — bounded) are counted with a combinable
+    // groupBy and anti-filtered MAP-SIDE, so a corpus-ubiquitous
+    // boilerplate shingle's rows never enter the h exchange — the former
+    // window cap scanned them all through one count task first
+    val sh = graft.skew.KeyCaps.dropOverCapKeys(raw, Seq("h"), maxDf)
     sharedWithBench(sh, benchOutOf256)
   }
 
@@ -145,10 +154,17 @@ object CorpusAnalysis {
     val bloom = benchH.stat.bloomFilter("h", nBench, fpp)
     val bb = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bb.value.mightContainLong(h))
-    val sh = raw.where(mightContain(col("h")))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("h")))
-      .where(col("__df") <= maxDf)
-      .drop("__df")
+    // the df cap counts only bloom survivors, but the probe keeps or drops
+    // whole h-groups (pure function of h), so survivor counts per h equal
+    // the full-corpus counts — the cap semantics are unchanged. The
+    // survivors are BOUNDED (~|bench shingles| x (1+fpp) — the operator's
+    // whole point), so materialize them once with localCheckpoint: the
+    // cap guard's count pass and anti-join then both read the bench-sized
+    // set instead of re-running the corpus scan + shingle pass. Same
+    // broadcast-hot-set guard as [[contamination]] — map-side-combinable
+    // count, map-side anti-filter, no hot-key single-task scan.
+    val survivors = raw.where(mightContain(col("h"))).localCheckpoint()
+    val sh = graft.skew.KeyCaps.dropOverCapKeys(survivors, Seq("h"), maxDf)
     sharedWithBench(sh, benchOutOf256)
   }
 
@@ -162,18 +178,28 @@ object CorpusAnalysis {
    * be float-accumulation-order-dependent; integer counts make the score
    * bit-exact and oracle-checkable.
    *
-   * ONE corpus token pass: the per-term frequency is a window count over
-   * the exploded tokens (term-keyed, spill-capable — a groupBy+join-back
-   * would re-run the explosion), then one doc-keyed fold. No global rank,
-   * no vocab-sized sort — scales as two keyed shuffles.
+   * Skew-proof by construction: NO token instance ever crosses a
+   * term-keyed exchange. The token explosion collapses immediately to
+   * per-(doc, term) counts — a groupBy whose partial aggregation combines
+   * a hot term's instances map-side, unlike a `count().over(partitionBy
+   * (term))` window, which has no partial step and would serialize ~4-5%
+   * of a 100 TB corpus ("the") through ONE window task. The corpus-wide
+   * frequency is then a second combinable groupBy over those collapsed
+   * rows (<= n_docs rows per term), joined back on term — a sort-merge
+   * join AQE can skew-split, which a window cannot. The per-doc totals
+   * decompose exactly: n_tokens = sum(tf), sum_token_freq = sum(tf*freq)
+   * — identical integers to the instance-level formulation. The (doc,
+   * term) exchange feeding tf appears in both branches and is planned
+   * once (reused exchange).
    */
   def lexicalCommonness(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
-    toks
-      .withColumn("__freq", count(lit(1)).over(Window.partitionBy("term")))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("__tf"))
+    val freq = tf.groupBy("term").agg(sum("__tf").as("__freq"))
+    tf.join(freq, Seq("term"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum("__freq").as("sum_token_freq"))
+      .agg(sum("__tf").as("n_tokens"),
+        sum(col("__tf") * col("__freq")).as("sum_token_freq"))
       .withColumn("mean_token_freq",
         col("sum_token_freq").cast("double") / col("n_tokens").cast("double"))
   }
@@ -200,16 +226,19 @@ object CorpusAnalysis {
     val lines = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
       .select(col("doc_id"), lower(trim(col("line"))).as("norm"))
-    // ONE corpus explode: collapse to per-(doc, line) instance counts,
-    // read the distinct-doc frequency off a window over the collapsed rows
-    // (rows per norm == docs containing it), then fold per doc. The
-    // distinct+join formulation re-ran the line explosion for the
-    // frequency side; no unbounded per-line state appears here either —
-    // a line shared by millions of docs is just a big window partition,
-    // which the window count handles spill-free.
+    // ONE corpus explode collapsed to per-(doc, line) instance counts,
+    // then the distinct-doc frequency as a map-side-combinable groupBy
+    // over those collapsed rows joined back on norm — NOT a window count:
+    // a ubiquitous boilerplate line (the very signal this operator exists
+    // to find) is in every document, and a `count().over(partitionBy
+    // (norm))` window would serialize all n_docs of its rows through one
+    // task with no partial aggregation. The groupBy's partial_count
+    // collapses each map partition's share first; the join back is
+    // AQE-skew-splittable. The (doc, norm) exchange feeding perDocLine is
+    // shared by both branches (reused exchange).
     val perDocLine = lines.groupBy("doc_id", "norm").agg(count(lit(1)).as("cnt"))
-    perDocLine
-      .withColumn("docs_with_line", count(lit(1)).over(Window.partitionBy("norm")))
+    val freq = perDocLine.groupBy("norm").agg(count(lit(1)).as("docs_with_line"))
+    perDocLine.join(freq, Seq("norm"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_lines"),
         sum(when(col("docs_with_line") >= minDocs, col("cnt")).otherwise(0L)).as("n_boiler_lines"))

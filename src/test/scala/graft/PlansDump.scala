@@ -65,27 +65,53 @@ object PlansDump {
       "centroid_id and the salted top-k windows.") {
       SparkEntry.queries("q30_ann_ivf")(spark, dir).explain("formatted")
     }
-    section("q21 MinHash candidates (single-fold signature, one bucket shuffle)",
+    section("q21 MinHash candidates (single-fold signature, broadcast-capped bucket shuffle)",
       "Signatures are ONE native-expression projection per row (MinHashSig " +
       "static call inside WholeStageCodegen, no cached intermediates, no " +
-      "persist); pairs come from a single groupBy (band, bucket) Exchange.") {
+      "persist). The bucket-size guard is a map-side-combinable groupBy " +
+      "count (partial_count before its Exchange) whose over-cap keys " +
+      "anti-filter via BroadcastHashJoin LeftAnti — a degenerate bucket's " +
+      "rows are dropped MAP-SIDE and never enter the (band, bucket) " +
+      "Exchange, where the former window count scanned the whole hot " +
+      "bucket in one task.") {
       SparkEntry.queries("q21_minhash_candidates")(spark, dir).explain("formatted")
     }
     section("q25 ANN sign-LSH pairs (capped bucket join)",
-      "The bucket-count prefilter (groupBy bucket -> HAVING between 2 and " +
-      "maxBucket -> left_semi) runs BEFORE the in-bucket self-join, so a " +
-      "degenerate hot bucket is excluded instead of exploding quadratically; " +
-      "singleton buckets never enter the join either.") {
+      "The bucketed working set is localCheckpoint'ed once, bucket sizes " +
+      "come from a combinable groupBy count off the materialized set, and " +
+      "over-cap buckets anti-filter via BroadcastHashJoin LeftAnti BEFORE " +
+      "the in-bucket self-join — a degenerate hot bucket is excluded " +
+      "map-side instead of exploding quadratically.") {
       SparkEntry.queries("q25_ann_lsh")(spark, dir).explain("formatted")
     }
-    section("q37 contamination (ONE corpus pass: df-cap window + per-h group share an Exchange)",
-      "Shingle hashes with corpus df above the cap are dropped by a window " +
-      "count, then docs x bench-ids pairs are exploded inside each h-group " +
-      "— the window and the groupBy share one hash partitioning, so the " +
-      "corpus shingle explosion is scanned and shuffled exactly once " +
-      "(the previous join formulation re-ran it for the bench side). " +
-      "Per-h groups are bounded by the cap, so the collect is bounded too.") {
+    section("q37 contamination (broadcast-hot-set df cap, bounded per-h groups)",
+      "Shingle hashes with corpus df above the cap are counted by a " +
+      "map-side-combinable groupBy (partial_count before the count " +
+      "Exchange) and dropped via BroadcastHashJoin LeftAnti — map-side, so " +
+      "a corpus-ubiquitous boilerplate shingle's rows never serialize " +
+      "through one count task OR enter the h Exchange. Docs x bench-ids " +
+      "pairs then explode inside each h-group, bounded by the cap. The " +
+      "price is a second map-side shingle pass for the count branch — " +
+      "embarrassingly parallel; q50 is the at-scale variant that avoids " +
+      "even that.") {
       SparkEntry.queries("q37_contamination")(spark, dir).explain("formatted")
+    }
+    section("q35 distinctive terms (combinable df count + join-back, no term-keyed window)",
+      "Document frequency is a groupBy over the per-(doc, term) tf rows — " +
+      "partial_count before the term Exchange — joined back on term " +
+      "(AQE-skew-splittable). A stopword's df is never one window task; " +
+      "the only Window is the per-doc rank, bounded by a document's own " +
+      "distinct terms. The (doc, term) Exchange feeding tf is planned once " +
+      "(ReusedExchange) for both branches.") {
+      SparkEntry.queries("q35_distinctive_terms")(spark, dir).explain("formatted")
+    }
+    section("q38 boilerplate lines (combinable line-frequency count + join-back)",
+      "docs_with_line is a groupBy count over collapsed (doc, norm) rows " +
+      "— partial_count before the norm Exchange — joined back on norm. A " +
+      "line present in EVERY document (the signal this operator exists to " +
+      "find) is counted map-side-combinably instead of serializing n_docs " +
+      "rows through one window task.") {
+      SparkEntry.queries("q38_boilerplate")(spark, dir).explain("formatted")
     }
     section("Token-blocked fuzzy matcher (equi-join before scoring)",
       "Items and products equi-join on shared preprocessed tokens " +
@@ -134,11 +160,14 @@ object PlansDump {
     }
     section("q50 bloom-prefiltered contamination (bench-sized shuffle instead of corpus-sized)",
       "Identical output to q37 (same oracle): the bench shingle hashes are " +
-      "aggregated into a broadcast bloom filter and probed MAP-SIDE before " +
-      "the df-cap window, so the h-keyed Exchange carries only " +
-      "might-be-bench shingles (~|bench| x 1.01) instead of every corpus " +
-      "shingle. False positives match no bench id in their h-group; per-h df counts " +
-      "are unchanged because the probe keeps or drops whole h-groups.") {
+      "aggregated into a broadcast bloom filter and probed MAP-SIDE, the " +
+      "bench-sized survivors are localCheckpoint'ed once (bounded state — " +
+      "~|bench| x 1.01), and the df cap is the same combinable-count + " +
+      "broadcast-anti guard as q37, reading the materialized survivors " +
+      "instead of re-running the corpus pass. The h-keyed Exchange carries " +
+      "only might-be-bench shingles. False positives match no bench id in " +
+      "their h-group; per-h df counts are unchanged because the probe " +
+      "keeps or drops whole h-groups.") {
       SparkEntry.queries("q50_contamination_bloom")(spark, dir).explain("formatted")
     }
     section("q49 native session windows (one user-keyed Exchange, streaming-capable)",
@@ -150,19 +179,26 @@ object PlansDump {
       "against this batch plan.") {
       SparkEntry.queries("q49_session_window")(spark, dir).explain("formatted")
     }
-    section("q53 lexical commonness (one token pass: term-window freq + doc fold)",
-      "The CCNet-shaped quality signal with an integer statistic: term " +
-      "frequency comes from a window count over the exploded tokens (one " +
-      "term-keyed Exchange, spill-capable) and the per-doc fold is one " +
-      "more keyed aggregate — no vocab-sized global sort, no join-back " +
-      "re-running the explosion, bit-exact against the oracle.") {
+    section("q53 lexical commonness (no token instance crosses a term-keyed Exchange)",
+      "The CCNet-shaped quality signal with an integer statistic: the " +
+      "explosion collapses immediately to per-(doc, term) tf (partial_count " +
+      "before its Exchange — a hot term's instances combine map-side), the " +
+      "corpus frequency is a second combinable groupBy over those collapsed " +
+      "rows (partial_sum), and the term join-back is AQE-skew-splittable. " +
+      "n_tokens = sum(tf), sum_token_freq = sum(tf*freq) — identical " +
+      "integers to the instance-level formulation, with no Window anywhere: " +
+      "at 100 TB the most frequent token is partial-aggregated like any " +
+      "other, not one window task.") {
       SparkEntry.queries("q53_lexical_commonness")(spark, dir).explain("formatted")
     }
-    section("q51 duplicated-span coverage (window count + doc-keyed interval merge)",
-      "Substring-dedup shape: positional k-grams hash into one h-keyed " +
-      "window count (the spill-capable single-shuffle guard), survivors " +
-      "flow into doc-keyed windows that merge overlapping spans — never a " +
-      "pair join, so corpus-common grams cannot explode anything.") {
+    section("q51 duplicated-span coverage (combinable gram count + semi-join, doc-keyed interval merge)",
+      "Substring-dedup shape: positional-gram frequencies come from a " +
+      "map-side-combinable groupBy count (partial_count before the h " +
+      "Exchange) applied as a left-semi join (both kept and dropped gram " +
+      "sets are unbounded, so no broadcast — but AQE can skew-split the " +
+      "semi-join, unlike the former h-keyed window count). Survivors flow " +
+      "into doc-keyed windows that merge overlapping spans — never a pair " +
+      "join, so corpus-common grams cannot explode anything.") {
       SparkEntry.queries("q51_dup_spans")(spark, dir).explain("formatted")
     }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",

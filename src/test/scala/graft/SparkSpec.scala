@@ -605,6 +605,77 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._3 > got(3L)._3, "ordinary words outscore hapax jargon")
   }
 
+  test("corpus-frequency operators are skew-proof: no hot-natural-key window, values exact") {
+    import spark.implicits._
+    // one term holds ~50% of ALL token instances (the Zipf head, worse
+    // than the 30% adversarial bar): under the old window formulation its
+    // frequency partition would serialize through one task; the groupBy +
+    // join-back plan must carry NO window keyed on the natural term/norm
+    // key — only distinctiveTerms' per-doc rank window survives.
+    val docs = (1 to 100).map { i =>
+      (i.toLong, s"hot hot hot u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "text")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+    val lex = graft.text.CorpusAnalysis.lexicalCommonness(docs, "doc_id", "text")
+    assert(!plan(lex).contains("Window"), s"q53 must not window on term:\n${plan(lex)}")
+    val lexGot = lex.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_token_freq"))).toMap
+    // per doc: 3x hot (corpus freq 300) + 3 hapax -> sum 3*300 + 3*1
+    assert(lexGot.size == 100)
+    assert(lexGot.values.forall(_ == (6L, 903L)), s"got ${lexGot.values.toSet}")
+
+    val boiler = graft.text.CorpusAnalysis.boilerplateLines(
+      docs.select(col("doc_id"), concat(lit("SHARED data u"), col("doc_id")).as("text")),
+      "doc_id", "text", sep = " data ", minDocs = 10)
+    assert(!plan(boiler).contains("Window"), "q38 must not window on norm")
+    val bGot = boiler.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler_lines"))).toMap
+    assert(bGot.values.forall(_ == (2L, 1L)), "the all-docs line flags, the unique one doesn't")
+
+    val dt = graft.text.CorpusAnalysis.distinctiveTerms(docs, "doc_id", "text", topK = 5)
+    val dtWindows = plan(dt).linesIterator.filter(_.contains("Window")).toSeq
+    assert(dtWindows.nonEmpty && dtWindows.forall(_.contains("doc_id")),
+      s"q35's only window is the per-doc rank:\n${dtWindows.mkString("\n")}")
+    val d1 = dt.where(col("doc_id") === 1L).collect()
+      .sortBy(_.getAs[Long]("rank")).map(r => (r.getString(2), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+    assert(d1.head == ("hot", 3L, 100L), s"tf-first ranking: ${d1.toSeq}")
+    assert(d1.tail.toSeq == Seq(("u1a", 1L, 1L), ("u1b", 1L, 1L), ("u1c", 1L, 1L)))
+  }
+
+  test("cap guards drop a 30%-hot key map-side: no window, broadcast anti-join in plan") {
+    import spark.implicits._
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    // contamination df-cap: one shingle in 30 of 40 docs (~30% of shingle rows)
+    val common = (1 to 8).map(i => s"common$i").mkString(" ")
+    def uniq(i: Int) = (1 to 8).map(j => s"u${i}x$j").mkString(" ")
+    val docs = (1 to 40).map { i =>
+      val head = if (i <= 30) s"$common " else ""
+      (i.toLong, s"$head${uniq(i)}")
+    }.toDF("doc_id", "text")
+    val cont = graft.text.CorpusAnalysis.contamination(
+      docs, "doc_id", "text", k = 8, benchOutOf256 = 255, maxDf = 5)
+    val cp = plan(cont)
+    assert(!cp.contains("Window"), "df cap must not be a window count")
+    assert(cp.contains("LeftAnti") && cp.contains("BroadcastHashJoin"),
+      s"over-cap keys must anti-filter via broadcast:\n$cp")
+    // with the hot shingle capped away no cross-doc shingle remains
+    assert(cont.count() == 0L)
+    // minhash/simhash candidate buckets: same guard, no window anywhere
+    val mh = graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text")
+    assert(!plan(mh).contains("Window"))
+    val sh = graft.dedup.Dedup.simhashCandidates(docs, "doc_id", "text")
+    assert(!plan(sh).contains("Window"))
+    // the capped semantics themselves are unchanged (hot bucket of 30
+    // identical docs excluded at maxBucket=5, present at 10000)
+    val same = (1 to 30).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.minhashCandidates(same, "doc_id", "text",
+      k = 3, bands = 8, rowsPerBand = 4, maxBucket = 5).count() == 0L)
+    assert(graft.dedup.Dedup.minhashCandidates(same, "doc_id", "text",
+      k = 3, bands = 8, rowsPerBand = 4, maxBucket = 10000).count() == 30L * 29 / 2)
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
