@@ -217,8 +217,18 @@ object Dedup {
    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                        maxBucket: Int = 10000): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand)
+                        maxBucket: Int = 10000): DataFrame =
+    candidatesFromSigs(minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand),
+      idCol, bands, rowsPerBand, maxBucket)
+
+  /** Candidate pairs from a signature table (idCol, sig) — split out so
+    * [[lshDedupClusters]] can feed a MATERIALIZED signature table: the
+    * bucket-cap guard reads its input twice (count + filter), and off a
+    * checkpointed sig table both passes are a cheap band-slice/md5 instead
+    * of a second corpus-wide shingle+signature pass. */
+  private[dedup] def candidatesFromSigs(sigs: DataFrame, idCol: String,
+                                        bands: Int, rowsPerBand: Int,
+                                        maxBucket: Int): DataFrame = {
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(minhashBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     pairsWithinBuckets(banded, maxBucket)
@@ -262,35 +272,99 @@ object Dedup {
     jaccardVerify(bounded, pairs, idCol, textCol, k, threshold)
   }
 
-  /** End-to-end scale dedup: MinHash-LSH candidates -> exact Jaccard
-    * verify -> connected-component clusters. At LSH parameters sized for
-    * the threshold (e.g. 16 bands x 2 rows for j >= 0.5: per-pair miss
-    * probability (1-j^2)^bands ~ 1e-12 at j=0.9) this recovers the same
-    * clusters as exhaustive all-pairs comparison — which is exactly what
-    * its oracle asserts. */
+  /** End-to-end scale dedup: exact-dup pre-collapse -> MinHash-LSH
+    * candidates -> exact Jaccard verify -> connected-component clusters
+    * -> family re-expansion. At LSH parameters sized for the threshold
+    * (e.g. 16 bands x 2 rows for j >= 0.5: per-pair miss probability
+    * (1-j^2)^bands ~ 1e-12 at j=0.9) this recovers the same clusters as
+    * exhaustive all-pairs comparison — which is exactly what its oracle
+    * asserts.
+    *
+    * The pre-collapse: documents identical after whitespace/case
+    * normalization (the [[exact]] key — tokenization is invariant to it,
+    * so family members have IDENTICAL shingle sets) collapse to their
+    * min-id keeper BEFORE the signature pass. A billion-copy boilerplate
+    * family is ONE node in the LSH chain instead of a billion identical
+    * signatures landing in the same buckets; members rejoin their
+    * keeper's cluster at the end. Exact equivalence: any member's
+    * jaccard to any third doc equals its keeper's, and an n>=2 family
+    * with a non-empty shingle set (>= k tokens) is pairwise jaccard 1 >
+    * threshold — a clique in the exhaustive graph — so it clusters even
+    * when its keeper matches nothing else; a family BELOW k tokens has
+    * an empty shingle set (null jaccard) and never clusters, matching
+    * the all-pairs oracle. Labels stay the component minimum: every
+    * member id >= its keeper id, so min over keepers == min over members.
+    *
+    * The family-expansion join keys on the text hash — a hot family is
+    * many left rows against ONE right row, a sort-merge join AQE
+    * skew-splits (unlike the per-cluster windows this replaces). */
   def lshDedupClusters(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                        threshold: Double = 0.5): DataFrame = {
+    val fam = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__fh", md5(lower(trim(regexp_replace(col("__text"), "\\s+", " ")))))
+    // one keeper row per family via a combinable min-struct aggregate
+    // (doc_id leads the struct, so min == the min-id member's row): a
+    // billion-copy family collapses to ONE row per map partition before
+    // its exchange — no window, no join against the raw rows.
+    // localCheckpoint: this IS the exact-dedup output (one row per
+    // DISTINCT text — the deduped corpus a production chain materializes
+    // to storage before near-dup anyway); it feeds the signature chain ~3x
+    // (candidate semi-join + two verify joins) and the expansion once, so
+    // without truncation each consumer would re-run the corpus scan and
+    // the collapse shuffle.
+    val famAgg = fam.groupBy("__fh").agg(
+        min(struct(col("doc_id"), col("__text"))).as("__rep"),
+        count(lit(1)).as("__n"))
+      .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
+        col("__rep.__text").as("__text"), col("__n"))
+      .localCheckpoint()
+    val reps = famAgg.select(col("__keeper").as("doc_id"), col("__text"))
+    // rep signatures, materialized once: bounded by (and far smaller than)
+    // the family table above — 32 longs per distinct text vs its full
+    // text. The bucket-cap guard reads its input twice (count + filter);
+    // off this checkpoint both passes are a band-slice/md5, not a second
+    // shingle+signature fold over every rep.
+    val sigs = minhashSignatures(reps, "doc_id", "__text", k, bands * rowsPerBand)
+      .localCheckpoint()
     // The pair tables are the chain's SMALL invariants (bounded by the
     // banding caps / verification threshold, orders below corpus size).
     // Materialize each once with localCheckpoint: cands feeds THREE joins
     // inside jaccardVerify and verified feeds nodes+edges in dedupClusters
     // — without truncation every reuse re-executes the corpus-wide
     // signature pass (measured 6s -> ~3s at sf0.1 from this alone).
-    val cands = minhashCandidates(df, idCol, textCol, k, bands, rowsPerBand)
+    val cands = candidatesFromSigs(sigs, "doc_id", bands, rowsPerBand, 10000)
       .localCheckpoint()
-    val verified = jaccardVerify(df, cands, idCol, textCol, k, threshold)
+    val verified = jaccardVerify(reps, cands, "doc_id", "__text", k, threshold)
       .select("id_a", "id_b").localCheckpoint()
-    dedupClusters(verified)
+    val repClusters = dedupClusters(verified)
+      .withColumnRenamed("doc_id", "__keeper").withColumnRenamed("cluster_id", "__clu")
+    // families in the output: keeper clustered at rep level, OR a
+    // multi-member family whose pairwise jaccard (1.0, when >= k tokens)
+    // clears the threshold — its own cluster labeled by the keeper
+    val famOut = famAgg.join(repClusters, Seq("__keeper"), "left")
+      .withColumn("__cluster", coalesce(col("__clu"),
+        when(col("__n") >= 2 && lit(1.0) > threshold &&
+          size(tokens(col("__text"))) >= k, col("__keeper"))))
+      .where(col("__cluster").isNotNull)
+      .select("__fh", "__cluster")
+    fam.select("doc_id", "__fh").join(famOut, Seq("__fh"))
+      .select(col("doc_id"), col("__cluster").as("cluster_id"))
   }
 
   /**
    * Representative selection for near-dup clusters: a real dedup keeps the
    * BEST copy of each duplicate family (here: highest `scoreCol`, tie ->
    * smallest id), not an arbitrary member. Composes [[lshDedupClusters]]
-   * with a per-cluster argmax; the windows are over cluster-sized groups,
-   * bounded by duplicate-family size. Docs in no cluster are their own
-   * keeper by definition — the output surfaces duplicate families only.
+   * (which pre-collapses exact-dup families, so a billion identical
+   * copies are one chain node) with a per-cluster argmax computed as a
+   * COMBINABLE max-struct aggregate, not a window: the giant family
+   * re-expands into its cluster here, and a window over cluster_id would
+   * serialize all its members through one task — the max(struct(score,
+   * -id)) aggregate partial-combines them map-side instead. Requires
+   * numeric ids (the negation is the deterministic min-id tie-break).
+   * Docs in no cluster are their own keeper by definition — the output
+   * surfaces duplicate families only.
    */
   def clusterRepresentatives(df: DataFrame, idCol: String, textCol: String,
                              scoreCol: String,
@@ -299,14 +373,11 @@ object Dedup {
     val clusters = lshDedupClusters(df, idCol, textCol, k, bands, rowsPerBand, threshold)
     val scored = clusters.join(
       df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")), Seq("doc_id"))
-    val w = Window.partitionBy("cluster_id")
-    val wOrd = w.orderBy(desc("__score"), asc("doc_id"))
-    scored
-      .withColumn("n_members", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(wOrd))
-      .where(col("__rn") === 1)
+    scored.groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__score").as("s"), (lit(0L) - col("doc_id")).as("negid"))).as("__b"))
       .select(col("cluster_id"), col("n_members"),
-        col("doc_id").as("keeper_id"), col("__score").as("keeper_score"))
+        (lit(0L) - col("__b.negid")).as("keeper_id"), col("__b.s").as("keeper_score"))
   }
 
   /**

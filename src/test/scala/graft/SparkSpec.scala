@@ -585,6 +585,36 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reps(20L) == (2L, 20L, 50L))
   }
 
+  test("exact-dup pre-collapse: a 100k-copy family is one chain node, argmax without windows") {
+    import spark.implicits._
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((1L to 100000L).map(i => (i, fam, i)) ++ Seq(
+      (200001L, "wholly unrelated text with its very own private words", 5L),
+      // near-dup of the family text (high shingle overlap) — must merge
+      // into the family's cluster through the rep-level LSH chain
+      (200002L, fam + " iota kappa", 7L),
+      // a 3-copy family BELOW k=3 tokens: empty shingle set, pairwise
+      // jaccard is null -> must NOT cluster (matches the all-pairs oracle)
+      (300001L, "one two", 1L), (300002L, "one two", 1L), (300003L, "ONE  TWO", 1L)
+    )).toDF("doc_id", "text", "score")
+    val clusters = graft.dedup.Dedup.lshDedupClusters(docs, "doc_id", "text",
+      k = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 100001, "100k-family + its near-dup; short family and singleton absent")
+    assert((1L to 100000L).forall(got(_) == 1L))
+    assert(got(200002L) == 1L, "near-dup joins the family's component via its keeper")
+    assert(!got.contains(300001L) && !got.contains(200001L))
+    // representatives: per-cluster argmax is a combinable aggregate, not a
+    // window — a giant expanded family must not form one window partition
+    val reps = graft.dedup.Dedup.clusterRepresentatives(docs, "doc_id", "text",
+      scoreCol = "score", k = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+    assert(!reps.queryExecution.executedPlan.toString.contains("Window"),
+      "cluster argmax must not window over cluster_id")
+    val r = reps.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set(1L))
+    assert(r(1L) == (100001L, 100000L, 100000L), s"best score wins: ${r(1L)}")
+  }
+
   test("lexical commonness scores ordinary-word docs above jargon docs") {
     import spark.implicits._
     val docs = Seq(
