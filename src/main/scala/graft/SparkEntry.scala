@@ -248,18 +248,27 @@ object SparkEntry {
       |SELECT p_partkey, rank, cand_id, score, score >= 90.0 AS is_auto
       |FROM ranked WHERE rank <= 3 AND score >= 40.0""".stripMargin
 
-  // ---- J1 (blocked variant): token-blocking equi-join before scoring ------
+  // ---- J1 (blocked variant): token + char-3-gram blocking before scoring --
   // The large-catalog matcher shape (graft.matching.Matching.topMatchesBlocked)
   // with the SQL-expressible levenshtein-ratio scorer so DuckDB can replicate
-  // the whole chain: explode lowercase alnum tokens, equi-join, score only
-  // co-blocked pairs, per-item top-k.
+  // the whole chain: blocking keys = lowercase alnum tokens UNION each
+  // token's character 3-grams (short tokens stand in for their own grams —
+  // the dual-key scheme that recalls in-token typo/transliteration pairs
+  // sharing no whole word), equi-join, score only co-blocked pairs,
+  // per-item top-k.
   private def qBlockedMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cands = candidateProducts.toDF("cand_id", "cand_name")
     val parts = t(spark, dir, "part").select("p_partkey", "p_name")
-    def toks(c: Column): Column = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
-    val pTok = parts.withColumn("tok", explode(toks(col("p_name"))))
-    val cTok = cands.withColumn("tok", explode(toks(col("cand_name"))))
+    def blockKeys(c: Column): Column = {
+      val toks = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+      val grams = flatten(transform(toks, tok =>
+        transform(sequence(lit(1), greatest(length(tok) - 2, lit(1))),
+          i => tok.substr(i, lit(3)))))
+      array_distinct(concat(toks, grams))
+    }
+    val pTok = parts.withColumn("tok", explode(blockKeys(col("p_name"))))
+    val cTok = cands.withColumn("tok", explode(blockKeys(col("cand_name"))))
     val blocked = pTok.join(broadcast(cTok), Seq("tok"))
       .select("p_partkey", "p_name", "cand_id", "cand_name").distinct()
     val la = lower(col("p_name")); val lb = lower(col("cand_name"))
@@ -276,12 +285,16 @@ object SparkEntry {
     """WITH cands(cand_id, cand_name) AS (VALUES
       |  (1,'small widget'), (2,'large bolt'), (3,'economy gadget'),
       |  (4,'standard fitting'), (5,'promo anodized tube'), (6,'cold rolled steel')),
-      |pt AS (SELECT p_partkey, p_name,
-      |  unnest(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x != '')) AS tok
-      |  FROM part),
-      |ct AS (SELECT cand_id, cand_name,
-      |  unnest(list_filter(string_split_regex(lower(cand_name), '[^a-z0-9]+'), x -> x != '')) AS tok
-      |  FROM cands),
+      |pt AS (SELECT p_partkey, p_name, unnest(list_distinct(tk ||
+      |    flatten([[t[i:i+2] FOR i IN range(1, greatest(len(t)-2, 1)+1)] FOR t IN tk]))) AS tok
+      |  FROM (SELECT p_partkey, p_name,
+      |          list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), x -> x != '') AS tk
+      |        FROM part)),
+      |ct AS (SELECT cand_id, cand_name, unnest(list_distinct(tk ||
+      |    flatten([[t[i:i+2] FOR i IN range(1, greatest(len(t)-2, 1)+1)] FOR t IN tk]))) AS tok
+      |  FROM (SELECT cand_id, cand_name,
+      |          list_filter(string_split_regex(lower(cand_name), '[^a-z0-9]+'), x -> x != '') AS tk
+      |        FROM cands)),
       |blocked AS (SELECT DISTINCT p_partkey, p_name, cand_id, cand_name
       |            FROM pt JOIN ct USING (tok)),
       |scored AS (SELECT p_partkey, cand_id,

@@ -53,25 +53,39 @@ object Matching {
       .withColumn("is_auto_match", col("score") >= auto)
   }
 
-  private val processTokensUdf =
-    udf((s: String) => Fuzzy.process(s).split(" ").filter(_.nonEmpty).distinct)
+  /** Blocking keys: the processed tokens UNION every token's character
+    * 3-grams (tokens shorter than 3 chars stand in for their own grams).
+    * Tokens recall word-overlap pairs exactly; 3-grams recall pairs whose
+    * similarity is character-level INSIDE differing tokens — in-token
+    * typos, transliterations — which share no whole token but, at any
+    * WRatio >= 70, must share long common character runs and therefore
+    * 3-grams. */
+  private val blockKeysUdf = udf { (s: String) =>
+    val toks = Fuzzy.process(s).split(" ").filter(_.nonEmpty).distinct
+    (toks ++ toks.flatMap(t => if (t.length < 3) Seq(t) else t.sliding(3))).distinct
+  }
 
   /**
-   * Token-blocked variant of [[topMatches]] for a LARGE product catalog:
+   * Blocked variant of [[topMatches]] for a LARGE product catalog:
    * instead of scoring every item x product pair (the reference's
    * semantics — fine for its in-memory dim, quadratic at a real catalog),
-   * items and products are equi-joined on shared preprocessed tokens first
-   * and only co-blocked pairs are WRatio-scored. The blocking key uses the
-   * SAME preprocessing as the scorer (Fuzzy.process), so any pair whose
-   * similarity comes from shared words is recalled exactly.
+   * items and products are equi-joined on shared blocking keys first and
+   * only co-blocked pairs are WRatio-scored. Keys use the SAME
+   * preprocessing as the scorer (Fuzzy.process) — see [[blockKeysUdf]].
    *
-   * Contract: a pair sharing NO processed token is never scored, so a
-   * match relying purely on character-level similarity inside differing
-   * tokens (e.g. a typo in an item's only word) is missed — when every
-   * >=`suggest` pair shares a token, output is IDENTICAL to [[topMatches]]
-   * (ranks included: sub-threshold candidates always rank below surviving
-   * ones, so dropping unblocked sub-threshold pairs cannot shift ranks).
-   * SparkSpec asserts the equivalence on the test dimension.
+   * Contract: a pair sharing NO blocking key is never scored. With the
+   * token + 3-gram union, a missed >=`suggest` pair would need similarity
+   * with no shared word AND no shared 3-character run after identical
+   * preprocessing — SparkSpec's adversarial catalog (in-token typos,
+   * transliterations scoring >= 70 purely through WRatio's character
+   * components) shows zero misses, and when every >= suggest pair shares
+   * a key the output is IDENTICAL to [[topMatches]] (ranks included:
+   * candidates below a surviving pair's score always rank below it, so
+   * absent sub-threshold pairs cannot shift ranks).
+   *
+   * Precondition: items are unique by `itemKeyCols` (candidate dedup and
+   * the final payload join-back key on them; payload columns may be of
+   * unorderable types — maps — and never enter a distinct).
    */
   def topMatchesBlocked(items: DataFrame, products: DataFrame,
                         itemKeyCols: Seq[String], nameCol: String = "name",
@@ -81,22 +95,24 @@ object Matching {
     val prods = products.select(
       col("product_id"), col("sku").as("match_sku"), col("name").as("match_name"))
     val prodTok = prods.select(col("product_id"),
-      explode(processTokensUdf(col("match_name"))).as("__tok"))
-    val itemCols = items.columns.map(col)
-    val cands = items
-      .withColumn("__tok", explode(processTokensUdf(col(nameCol))))
+      explode(blockKeysUdf(col("match_name"))).as("__tok"))
+    val keyCols = itemKeyCols.map(col)
+    val cands = items.select((keyCols :+ col(nameCol)): _*)
+      .withColumn("__tok", explode(blockKeysUdf(col(nameCol))))
       .join(broadcast(prodTok), Seq("__tok"))
-      .select((itemCols :+ col("product_id")): _*)
+      .select((keyCols :+ col(nameCol) :+ col("product_id")): _*)
       .distinct()
     val scored = cands
       .join(broadcast(prods), Seq("product_id"))
       .withColumn("score", wratioUdf(col(nameCol), col("match_name")))
-    val w = Window.partitionBy(itemKeyCols.map(col): _*)
+    val w = Window.partitionBy(keyCols: _*)
       .orderBy(desc("score"), asc("product_id"))
-    scored
+    val ranked = scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= limit && col("score") >= suggest)
       .withColumn("is_auto_match", col("score") >= auto)
+    // restore the full item row (unique-by-key precondition above)
+    items.join(ranked.drop(nameCol), itemKeyCols)
   }
 
   /** J2 batch matcher: best suggestion folded onto each item row

@@ -113,12 +113,14 @@ object PlansDump {
       "rows through one window task.") {
       SparkEntry.queries("q38_boilerplate")(spark, dir).explain("formatted")
     }
-    section("Token-blocked fuzzy matcher (equi-join before scoring)",
-      "Items and products equi-join on shared preprocessed tokens " +
-      "(broadcast on the exploded dim) and only co-blocked pairs reach the " +
-      "WRatio UDF — the large-catalog alternative to the reference's " +
-      "all-pairs scoring, output-equal when every above-threshold pair " +
-      "shares a token (SparkSpec asserts it).") {
+    section("Blocked fuzzy matcher (token + char-3-gram equi-join before scoring)",
+      "Items and products equi-join on shared blocking keys — processed " +
+      "tokens UNION each token's character 3-grams (broadcast on the " +
+      "exploded dim) — and only co-blocked pairs reach the WRatio UDF: " +
+      "the large-catalog alternative to the reference's all-pairs scoring. " +
+      "Tokens recall word-overlap pairs; 3-grams recall in-token " +
+      "typo/transliteration pairs that share no whole word (SparkSpec " +
+      "asserts both equivalences).") {
       val items = Pipeline.extractItems(turns).select("conv_id", "turn_idx", "item_idx", "name")
       graft.matching.Matching.topMatchesBlocked(items,
         graft.io.Transcripts.productsDim(spark),

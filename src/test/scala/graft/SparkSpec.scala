@@ -412,6 +412,34 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allPairs.nonEmpty)
   }
 
+  test("blocked matcher recalls >=70 pairs that share NO whole token (typos, transliterations)") {
+    import spark.implicits._
+    // every real pair here scores >= 70 purely through WRatio's character
+    // components — after preprocessing the names share no whole token, so
+    // token-only blocking (round 3) missed them; the 3-gram keys must not
+    val products = Seq(
+      (1L, "S1", "widget"), (2L, "S2", "schraubenzieher"), (3L, "S3", "фильтрующий"))
+      .toDF("product_id", "sku", "name")
+    val items = Seq(
+      (10L, "widgte"),          // in-token transposition
+      (11L, "schraubenziher"),  // dropped letter mid-token
+      (12L, "фильтрущий"),      // dropped letter, Cyrillic
+      (13L, "qqq")              // matches nothing
+    ).toDF("item_id", "name")
+    val keys = Seq("item_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("item_id", "name", "product_id", "match_sku", "match_name",
+          "score", "rank", "is_auto_match")
+        .collect().map(_.toString).sorted.toSeq
+    val all = canon(graft.matching.Matching.topMatches(
+      items, products, keys, "name", 3, suggest = 70.0))
+    val blk = canon(graft.matching.Matching.topMatchesBlocked(
+      items, products, keys, "name", 3, suggest = 70.0))
+    assert(all.nonEmpty, "fixture must produce >=70 pairs")
+    assert(all.count(_.contains("widget")) >= 1, s"typo pair must clear 70: $all")
+    assert(blk == all, s"3-gram blocking must recall every >=70 pair:\nall=$all\nblk=$blk")
+  }
+
   test("star-contraction clustering converges in O(log n) rounds on a 100-hop path") {
     import spark.implicits._
     // a path 0-1-2-...-100 has diameter 100: min-label propagation needs
