@@ -126,20 +126,14 @@ object PlansDump {
         graft.io.Transcripts.productsDim(spark),
         Seq("conv_id", "turn_idx", "item_idx")).explain("formatted")
     }
-    section("Salted as-of join (hot key spread over time buckets)",
-      "The window partitions on (key, time-bucket) instead of key alone; " +
-      "carry-in rows come from a window over the tiny per-(key,bucket) " +
-      "summary, so a hot key parallelizes across its buckets with no " +
-      "correctness loss (SparkSpec asserts equality with the plain as-of).") {
-      import org.apache.spark.sql.functions._
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", col("ts").cast("timestamp"))
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value").as("purchase_value"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
-      graft.relational.AsOf.asofJoinSalted(purchases, clicks, "user_id", "ts",
-        Seq("ts", "value"), bucketWidthUs = 3600000000L).explain("formatted")
+    section("q42 salted as-of join on a Zipf-hot key (bucket-parallel windows)",
+      "The driver fixture collapses ~2/3 of users onto one id; the window " +
+      "partitions on (key, time-bucket) instead of key alone, so the hot " +
+      "key parallelizes across its buckets. Carry-in rows come from a " +
+      "window over the tiny per-(key,bucket) summary — no correctness " +
+      "loss (SparkSpec asserts equality with the plain as-of; the q42 " +
+      "oracle is DuckDB's native ASOF over the same hot remap).") {
+      SparkEntry.queries("q42_asof_salted")(spark, dir).explain("formatted")
     }
     section("q44 composite corpus filter (one shuffle for four gates)",
       "Quality, language and repetition gates are pure projections over the " +
