@@ -63,6 +63,91 @@ object StreamingExtract {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  // ---- watermark-bounded MinHash near-dup candidates -----------------------
+
+  final case class BucketDoc(id: Long, tsUs: Long)
+  final case class BucketState(docs: List[BucketDoc])
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /**
+   * Streaming MinHash-LSH near-duplicate candidates — the watermark-
+   * bounded analog of graft.dedup.Dedup.minhashCandidates: each document
+   * is signed map-side with the same codegen'd minhash_sig expression and
+   * banded into the same (band, bucket) keys; per-bucket state (doc ids
+   * live within the watermark horizon) is held in
+   * flatMapGroupsWithState, and a pair (a < b) is emitted when the later
+   * document arrives in a bucket the earlier one still occupies.
+   *
+   * Contracts:
+   *  - State is bounded by the horizon (docs with ts below the watermark
+   *    are evicted; idle buckets flush via EventTimeTimeout) — the only
+   *    tractable contract on an unbounded stream; corpus-lifetime dedup
+   *    stays the batch chain.
+   *  - A pair sharing several bands is emitted once per shared bucket;
+   *    consumers dedupe downstream (the batch operator ends in distinct()
+   *    — a streaming global distinct would itself need unbounded state).
+   *  - With a horizon wider than the data span, the distinct pair set
+   *    EQUALS batch minhashCandidates (StreamingSpec differential).
+   *  - `maxBucket` mirrors the batch degenerate-bucket cap as the bucket
+   *    GROWS: once live docs exceed it the bucket's state is dropped and
+   *    nothing further is emitted until it drains; pairs emitted before
+   *    the crossing are not retracted (append streams cannot retract) —
+   *    the batch operator is the authority for exact cap semantics.
+   */
+  def streamingNearDup(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+                       horizon: String = "10 minutes",
+                       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                       maxBucket: Int = 10000): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sigs = docs
+      .withWatermark(tsCol, horizon)
+      .where(size(graft.dedup.Dedup.tokens(col(textCol))) >= k)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("__ts"),
+        graft.expr.signatures.minhash_sig(
+          graft.dedup.Dedup.shingles(col(textCol), k), bands * rowsPerBand).as("sig"))
+    val banded = sigs.select(col("id"), col("__ts"), unix_micros(col("__ts")).as("us"),
+        posexplode(graft.dedup.Dedup.minhashBuckets(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+      .select(concat_ws("#", col("band"), col("bucket")).as("bkey"),
+        col("id"), col("us"), col("__ts"))
+      .as[(String, Long, Long, java.sql.Timestamp)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.map(_.docs).getOrElse(Nil).filter(_.tsUs >= wmUs)
+          // deterministic in-batch order: a pair is emitted by its later
+          // (ts, id) member against everything live before it
+          val incoming = rows.map(r => BucketDoc(r._2, r._3)).toList
+            .sortBy(d => (d.tsUs, d.id))
+          val out = List.newBuilder[CandPair]
+          var live = prev
+          incoming.foreach { d =>
+            live.foreach { o =>
+              if (o.id != d.id)
+                out += (if (o.id < d.id) CandPair(o.id, d.id) else CandPair(d.id, o.id))
+            }
+            live = d :: live
+          }
+          if (live.size > maxBucket) {
+            state.remove() // degenerate collision class — same spirit as the batch cap
+            Iterator.empty
+          } else {
+            val keep = live.filter(_.tsUs >= wmUs)
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(BucketState(keep))
+              state.setTimeoutTimestamp(math.max(keep.map(_.tsUs).max / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().distinct.iterator
+          }
+      }
+  }
+
   // ---- gap sessionization with custom state --------------------------------
 
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)

@@ -186,6 +186,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bridge must merge the two open sessions into [t0, t0+70min): $got")
   }
 
+  test("streaming near-dup candidates equal batch MinHash candidates; horizon evicts state") {
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sneardup").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def doc(id: Long, text: String, minutes: Long) =
+      (id, text, new java.sql.Timestamp(t0 + minutes * 60000L))
+    val baseText = (1 to 60).map(i => s"token$i").mkString(" ")
+    val near = (1 to 57).map(i => s"token$i").mkString(" ") + " tokenx tokeny tokenz"
+    val far = (100 to 160).map(i => s"token$i").mkString(" ")
+    val phase1 = Seq(doc(1, baseText, 0), doc(2, near, 1), doc(3, far, 2))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+        .parquet(inDir)
+      graft.streaming.StreamingExtract
+        .streamingNearDup(stream, "doc_id", "text", "ts", horizon = "60 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.CandPair], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    phase1.toDF("doc_id", "text", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    def gotPairs() = spark.read.parquet(outDir)
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def batchPairs(docs: Seq[(Long, String, java.sql.Timestamp)]) =
+      graft.dedup.Dedup.minhashCandidates(
+        docs.toDF("doc_id", "text", "ts"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = batchPairs(phase1)
+    assert(b1.contains((1L, 2L)) && !b1.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(gotPairs() == b1, "same-horizon stream must equal batch candidates")
+    // advance the watermark far past phase 1 + horizon with a sentinel doc
+    // that shares no bucket with anything (unique tokens, >= k so it is
+    // not filtered before the watermark operator)
+    Seq(doc(900, "sentinelalpha sentinelbeta sentinelgamma sentineldelta", 50000L))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    // identical texts re-arrive under NEW ids far beyond the horizon: they
+    // must pair with each other, never with the evicted phase-1 docs
+    val phase2 = Seq(doc(11, baseText, 100000L), doc(12, near, 100001L))
+    phase2.toDF("doc_id", "text", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    val finalPairs = gotPairs()
+    assert(finalPairs == b1 ++ batchPairs(phase2),
+      s"cross-horizon pairs must not appear: $finalPairs")
+    assert(batchPairs(phase2) == Set((11L, 12L)))
+  }
+
   test("streaming dedup with an unbounded horizon equals batch Dedup.exact") {
     // the differential: the same input through the batch operator and the
     // stream (horizon so wide no state is ever evicted) must keep the same
