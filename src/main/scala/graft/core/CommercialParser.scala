@@ -44,9 +44,12 @@ object CommercialParser {
       }
     } catch { case _: Exception => Nil }
 
-  private def parseWithMapping(table: Tab, m: Map[String, Int], tableIdx: Int): Seq[Item] =
-    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-      try {
+  private def parseWithMapping(table: Tab, m: Map[String, Int], tableIdx: Int): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var rowIdx = 0
+    while (rowIdx < table.rows.length) {
+      val row = table.rows(rowIdx)
+      val parsed: Option[Item] = try {
         val firstCell = if (row.nonEmpty) Py.pyStr(row(0)) else ""
         if (Py.containsAny(Py.lower(firstCell), Rules.headerFirstCellCommercial)) None
         else {
@@ -66,19 +69,25 @@ object CommercialParser {
           }
         }
       } catch { case _: Exception => None }
+      parsed.foreach(out += _)
+      rowIdx += 1
     }
+    out.result()
+  }
 
   // commercial_parser.py:215-325
-  private def parseByContent(table: Tab, tableIdx: Int): Seq[Item] =
-    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-      if (rowIdx == 0) None
-      else {
-        val values = table.rowVals(rowIdx)
-        if (values.length >= 4)
-          try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None }
-        else None
-      }
+  private def parseByContent(table: Tab, tableIdx: Int): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var rowIdx = 1
+    while (rowIdx < table.rows.length) {
+      val values = table.rowVals(rowIdx)
+      if (values.length >= 4)
+        (try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None })
+          .foreach(out += _)
+      rowIdx += 1
     }
+    out.result()
+  }
 
   private def parseRowValues(values: IndexedSeq[String], tableIdx: Int, rowIdx: Int): Option[Item] = {
     if (values.length < 4) return None
@@ -127,15 +136,28 @@ object CommercialParser {
   }
 
   // -- text path (commercial_parser.py:327-393) --
-  private def parseText(shared: SharedLines): Seq[Item] =
-    shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (!shared.hasDigit(lineIdx) ||
-          !passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineCommercial, Rules.serviceLineCommercial)) None
-      else parseLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.7))
-    }.toSeq
+  private def parseText(shared: SharedLines): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var lineIdx = 0
+    while (lineIdx < shared.stripped.length) {
+      val line = shared.stripped(lineIdx)
+      if (shared.hasDigit(lineIdx) &&
+          passesStrictLinePrefilter(line, shared.lower(lineIdx), Rules.headerLineCommercial, Rules.serviceLineCommercial))
+        parseLine(line).foreach(it =>
+          out += it.copy(source = s"text_line_$lineIdx", confidence = 0.7))
+      lineIdx += 1
+    }
+    out.result()
+  }
 
   private def parseLine(line: String): Option[Item] = {
-    Patterns.commercialPatterns.iterator.flatMap { p =>
+    // explicit first-match-wins loop: the iterator.flatMap chain
+    // allocated ~5 wrapper objects per call on the per-line hot path
+    val __ps = Patterns.commercialPatterns
+    var __pi = 0
+    while (__pi < __ps.length) {
+      val p = __ps(__pi)
+      val __r: Option[Item] = {
       val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
@@ -149,7 +171,11 @@ object CommercialParser {
         val it = Item.base(name, qty, unit, price, "RUB", total, "regex_match", 0.85)
         if (validate(it)) Some(it) else None
       } catch { case _: Exception => None }
-    }.nextOption()
+      }
+      if (__r.isDefined) return __r
+      __pi += 1
+    }
+    None
   }
 
   /** commercial _clean_name also strips the leading tech-spec prefix

@@ -45,17 +45,17 @@ object CompetitiveParser {
     val header = table.header
     val mapping = mutable.LinkedHashMap.empty[String, Int]
     table.headerLower.zipWithIndex.foreach { case (s, idx) =>
-      if (cNum.exists(s.contains)) {
+      if (Py.containsAny(s, cNum)) {
         // skip position-number columns
-      } else if (!mapping.contains("name") && cName.exists(s.contains))
+      } else if (!mapping.contains("name") && Py.containsAny(s, cName))
         mapping("name") = idx
-      else if (!mapping.contains("qty") && cQty.exists(s.contains))
+      else if (!mapping.contains("qty") && Py.containsAny(s, cQty))
         mapping("qty") = idx
-      else if (!mapping.contains("unit") && cUnit.exists(s.contains))
+      else if (!mapping.contains("unit") && Py.containsAny(s, cUnit))
         mapping("unit") = idx
-      else if (!mapping.contains("price") && cPrice.exists(s.contains))
+      else if (!mapping.contains("price") && Py.containsAny(s, cPrice))
         mapping("price") = idx
-      else if (!mapping.contains("total") && cTotal.exists(s.contains))
+      else if (!mapping.contains("total") && Py.containsAny(s, cTotal))
         mapping("total") = idx
     }
     if (mapping.isEmpty && header.length >= 3)
@@ -71,9 +71,12 @@ object CompetitiveParser {
       }
     } catch { case _: Exception => Nil }
 
-  private def parseWithMapping(table: Tab, m: Map[String, Int], tableIdx: Int): Seq[Item] =
-    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-      try {
+  private def parseWithMapping(table: Tab, m: Map[String, Int], tableIdx: Int): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var rowIdx = 0
+    while (rowIdx < table.rows.length) {
+      val row = table.rows(rowIdx)
+      val parsed: Option[Item] = try {
         if (rowIdx == 0) None // header skip is positional here (competitive_parser.py:210-212)
         else {
           val name = if (m.contains("name")) ilocStr(row, m("name")) else ""
@@ -94,31 +97,59 @@ object CompetitiveParser {
           }
         }
       } catch { case _: Exception => None }
+      parsed.foreach(out += _)
+      rowIdx += 1
     }
+    out.result()
+  }
 
   // competitive_parser.py:257-341
-  private def parseByContent(table: Tab, tableIdx: Int): Seq[Item] =
-    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-      if (rowIdx == 0) None
-      else {
-        val values = table.rowVals(rowIdx)
-        if (values.length >= 3)
-          try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None }
-        else None
-      }
+  private def parseByContent(table: Tab, tableIdx: Int): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var rowIdx = 1
+    while (rowIdx < table.rows.length) {
+      val values = table.rowVals(rowIdx)
+      if (values.length >= 3)
+        (try parseRowValues(values, tableIdx, rowIdx) catch { case _: Exception => None })
+          .foreach(out += _)
+      rowIdx += 1
     }
+    out.result()
+  }
 
   private def parseRowValues(values: IndexedSeq[String], tableIdx: Int, rowIdx: Int): Option[Item] = {
     if (values.length < 3) return None
     val name = values(0)
-    val numbers = values.drop(1).flatMap(v => Num.parse(v))
+    val numbers = {
+      val b = IndexedSeq.newBuilder[Double]
+      var i = 1
+      while (i < values.length) {
+        val p = Num.parse(values(i))
+        if (p.isDefined) b += p.get
+        i += 1
+      }
+      b.result()
+    }
     if (numbers.length < 2) return None
     val qty = numbers(0)
     val price = numbers(1)
     val total = if (numbers.length >= 3) numbers(2) else qty * price
-    val unit = values.drop(1).find(v => Rules.tokenUnits.exists(Py.lower(v).contains)).getOrElse("")
-    val currency = values.find(v => Rules.tokenCurrencies.exists(Py.upper(v).contains))
-      .map(Py.upper).getOrElse("RUB")
+    val unit = {
+      var i = 1; var u = ""
+      while (u.isEmpty && i < values.length) {
+        if (Py.containsAnyLowered(values(i), Rules.tokenUnits)) u = values(i)
+        i += 1
+      }
+      u
+    }
+    val currency = {
+      var i = 0; var c: String = null
+      while (c == null && i < values.length) {
+        if (Py.containsAnyUppered(values(i), Rules.tokenCurrencies)) c = Py.upper(values(i))
+        i += 1
+      }
+      if (c == null) "RUB" else c
+    }
     val it = Item(name, "", Some(qty), unit, Some(price), currency, Some(total), "",
       s"table_${tableIdx}_row_$rowIdx", 0.8)
     if (validate(it)) Some(it) else None
@@ -129,7 +160,10 @@ object CompetitiveParser {
     val items = mutable.ArrayBuffer.empty[Item]
     // structured key:value blocks first (T5/R14)
     items ++= parseStructuredTextShared(shared)
-    shared.stripped.zipWithIndex.foreach { case (line, lineIdx) =>
+    // index loop: zipWithIndex materialized a tuple array per turn
+    var lineIdx = 0
+    while (lineIdx < shared.stripped.length) {
+      val line = shared.stripped(lineIdx)
       if (shared.hasDigit(lineIdx) && passesPrefilter(line, shared.lower(lineIdx))) {
         parseTableLine(line, lineIdx) match {
           case Some(it) => items += it
@@ -138,6 +172,7 @@ object CompetitiveParser {
               items += it.copy(source = s"text_line_$lineIdx", confidence = 0.7))
         }
       }
+      lineIdx += 1
     }
     items.toSeq
   }
@@ -156,7 +191,7 @@ object CompetitiveParser {
     * `shared.stripped` (strip only trims the text's ends; boundary-line
     * trims happen per-line anyway, and empty lines are skipped by the
     * block loop) — so the text is not re-split and not re-stripped. */
-  private def parseStructuredTextShared(shared: SharedLines): Seq[Item] =
+  private[core] def parseStructuredTextShared(shared: SharedLines): Seq[Item] =
     parseStructuredTextImpl(shared.text, shared)
 
   private def parseStructuredTextImpl(text: String, shared: SharedLines): Seq[Item] = {
@@ -202,13 +237,13 @@ object CompetitiveParser {
         val ci = line.indexOf(':')
         val key = Py.lower(line.substring(0, ci).pyStrip)
         val value = line.substring(ci + 1).pyStrip
-        if (kName.exists(key.contains)) name = Some(value)
-        else if (kQty.exists(key.contains)) qty = Some(Num.parse(value))
-        else if (kUnit.exists(key.contains)) unit = Some(value)
-        else if (kPrice.exists(key.contains)) price = Some(Num.parse(value))
-        else if (kCurrency.exists(key.contains)) currency = Some(value)
-        else if (kTotal.exists(key.contains)) total = Some(Num.parse(value))
-        else if (kSupplier.exists(key.contains)) supplier = Some(value)
+        if (Py.containsAny(key, kName)) name = Some(value)
+        else if (Py.containsAny(key, kQty)) qty = Some(Num.parse(value))
+        else if (Py.containsAny(key, kUnit)) unit = Some(value)
+        else if (Py.containsAny(key, kPrice)) price = Some(Num.parse(value))
+        else if (Py.containsAny(key, kCurrency)) currency = Some(value)
+        else if (Py.containsAny(key, kTotal)) total = Some(Num.parse(value))
+        else if (Py.containsAny(key, kSupplier)) supplier = Some(value)
       }
     }
     if (name.isDefined && qty.isDefined && price.isDefined) {
@@ -256,9 +291,22 @@ object CompetitiveParser {
       val qty = Num.parse(num0)
       val price = Num.parse(num1)
       if (qty.isEmpty || price.isEmpty) return None
-      val unit = parts.find(p => Rules.tokenUnits.exists(Py.lower(p).contains)).getOrElse("")
-      val currency = parts.find(p => Rules.tokenCurrencies.exists(Py.upper(p).contains))
-        .map(Py.upper).getOrElse("RUB")
+      val unit = {
+        var j = 0; var u = ""
+        while (u.isEmpty && j < parts.length) {
+          if (Py.containsAnyLowered(parts(j), Rules.tokenUnits)) u = parts(j)
+          j += 1
+        }
+        u
+      }
+      val currency = {
+        var j = 0; var c: String = null
+        while (c == null && j < parts.length) {
+          if (Py.containsAnyUppered(parts(j), Rules.tokenCurrencies)) c = Py.upper(parts(j))
+          j += 1
+        }
+        if (c == null) "RUB" else c
+      }
       val total = qty.get * price.get
       val it = Item(name, "", qty, unit, price, currency, Some(total), "",
         s"table_line_$lineIdx", 0.8)
@@ -267,7 +315,13 @@ object CompetitiveParser {
   }
 
   private def parseLine(line: String): Option[Item] = {
-    Patterns.competitivePatterns.iterator.flatMap { p =>
+    // explicit first-match-wins loop: the iterator.flatMap chain
+    // allocated ~5 wrapper objects per call on the per-line hot path
+    val __ps = Patterns.competitivePatterns
+    var __pi = 0
+    while (__pi < __ps.length) {
+      val p = __ps(__pi)
+      val __r: Option[Item] = {
       val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
@@ -290,7 +344,11 @@ object CompetitiveParser {
         val it = Item(name, "", qty, unit, price, currency, total, "", "regex_match", 0.85)
         if (validate(it)) Some(it) else None
       } catch { case _: Exception => None }
-    }.nextOption()
+      }
+      if (__r.isDefined) return __r
+      __pi += 1
+    }
+    None
   }
 
   private def hasGroup(p: java.util.regex.Pattern, g: String): Boolean =

@@ -110,22 +110,35 @@ object Engine {
     * per-parser counts there are ALWAYS zero: the guard
     * `if result and not isinstance(result, dict)` is false for every parser
     * result (they are all dicts), so only the doc-type warning branch and
-    * the all-zero branch ever fire. Mirrored faithfully. */
-  def recommendations(docType: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (docType == "commercial_proposal")
-      out += "⚠️ Коммерческое предложение не содержит товарных позиций"
-    else if (docType == "invoice")
-      out += "⚠️ Счет на оплату не содержит товарных позиций"
-    out += "❌ Ни один парсер не нашел товарные позиции"
-    out += "💡 Возможные причины: документ не содержит товарных позиций, неподдерживаемый формат"
-    out.toSeq
-  }
+    * the all-zero branch ever fire. Mirrored faithfully; the three possible
+    * outputs are constants, precomputed once (immutable — safe to share). */
+  private val recTail = Seq(
+    "❌ Ни один парсер не нашел товарные позиции",
+    "💡 Возможные причины: документ не содержит товарных позиций, неподдерживаемый формат")
+  private val recCommercial =
+    "⚠️ Коммерческое предложение не содержит товарных позиций" +: recTail
+  private val recInvoice =
+    "⚠️ Счет на оплату не содержит товарных позиций" +: recTail
+
+  def recommendations(docType: String): Seq[String] =
+    if (docType == "commercial_proposal") recCommercial
+    else if (docType == "invoice") recInvoice
+    else recTail
 
   /** sum(item['total']) per parser (A2 stats); error parsers report 0 and
-    * run() guarantees surviving parsers carry no None totals. */
-  private def statTotal(r: ParserResult): Double =
-    if (r.error) 0.0 else r.items.flatMap(_.total).sum
+    * run() guarantees surviving parsers carry no None totals. Index loop —
+    * the flatMap built a fresh Seq per parser per turn. Left-to-right
+    * accumulation order preserved (float-sum order matters for parity). */
+  private def statTotal(r: ParserResult): Double = {
+    if (r.error) return 0.0
+    var acc = 0.0
+    val it = r.items.iterator
+    while (it.hasNext) {
+      val t = it.next().total
+      if (t.isDefined) acc += t.get
+    }
+    acc
+  }
 
   final case class Best(parser: String, items: Seq[Item], count: Int, totalCost: Double, avgConf: Double)
 
@@ -148,15 +161,27 @@ object Engine {
           bestParser = r.parser
           bestItems = valid
           bestTotal = sumTotals(valid)
-          bestConf = if (valid.nonEmpty) valid.map(_.confidence).sum / valid.length else 0.0
+          bestConf =
+            if (valid.isEmpty) 0.0
+            else {
+              // left-to-right float sum without the intermediate Seq
+              var acc = 0.0
+              val it = valid.iterator
+              while (it.hasNext) acc += it.next().confidence
+              acc / valid.length
+            }
         }
       }
     }
     Best(bestParser, bestItems, bestCount, bestTotal, bestConf)
   }
 
-  private def sumTotals(items: Seq[Item]): Double =
-    items.map(_.total.getOrElse(throw new PyTypeError)).sum
+  private def sumTotals(items: Seq[Item]): Double = {
+    var acc = 0.0
+    val it = items.iterator
+    while (it.hasNext) acc += it.next().total.getOrElse(throw new PyTypeError)
+    acc
+  }
 
   /** The selection-time item filter (universal_parser.py:244-257). */
   def isBestSelectable(it: Item): Boolean = {
@@ -183,11 +208,10 @@ object Engine {
     documentTypeScoresLower(Py.lower(text))
 
   def documentTypeScoresLower(lower: String): (Double, Double, Double, Double) = {
-    def hits(words: Seq[String]): Double = words.count(lower.contains).toDouble
-    val inv = hits(Rules.scoreInvoiceKeywords)
-    val com = hits(Rules.scoreCommercialKeywords)
-    val cmp = hits(Rules.scoreCompetitiveKeywords)
-    val con = hits(Rules.scoreContractKeywords)
+    val inv = Py.countContains(lower, Rules.scoreInvoiceKeywords).toDouble
+    val com = Py.countContains(lower, Rules.scoreCommercialKeywords).toDouble
+    val cmp = Py.countContains(lower, Rules.scoreCompetitiveKeywords).toDouble
+    val con = Py.countContains(lower, Rules.scoreContractKeywords).toDouble
     val total = inv + com + cmp + con
     if (total > 0) (inv / total, com / total, cmp / total, con / total)
     else (0.0, 0.0, 0.0, 0.0)
@@ -201,7 +225,7 @@ object Engine {
   def qualityLower(lowerOrNull: String, tables: Seq[Tab]): (Double, Double, Double) = {
     val tq =
       if (lowerOrNull != null)
-        Rules.validationKeyElements.count(lowerOrNull.contains).toDouble / Rules.validationKeyElements.length
+        Py.countContains(lowerOrNull, Rules.validationKeyElements).toDouble / Rules.validationKeyElements.length
       else 0.0
     val tabq =
       if (tables.nonEmpty)
@@ -216,7 +240,7 @@ object Engine {
 
   def needsFallbackLower(text: String, lower: String, tables: Seq[Tab]): Boolean = {
     if (text.pyStrip.length < 100) return true
-    if (Rules.qualityGateKeywords.count(lower.contains) < 2) return true
+    if (Py.countContains(lower, Rules.qualityGateKeywords) < 2) return true
     if (tables.nonEmpty && !tables.exists(t => t.rows.length > 1 && t.nCols > 2)) return true
     false
   }

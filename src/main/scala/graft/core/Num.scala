@@ -130,6 +130,19 @@ object Num {
   private[graft] def parseSlow(raw: String): Option[Double] = {
     if (raw == null) return None
     var s = Py.pyStrip(raw)
+    // digit-free bail: the cleanup keeps only [\d.,\s-], so without a digit
+    // (Unicode Nd — exactly what \d admits) every surviving string is some
+    // mix of '.', ',', '-', whitespace — all of which float() rejects. The
+    // common case here is a Cyrillic name/unit cell fed through the content
+    // fallback, which otherwise pays a full regex replaceAll for a
+    // guaranteed None. (Covered by NumSpec's fast-vs-slow differential and
+    // the reference-parity sweeps.)
+    var hasDigit = false
+    var di = 0
+    while (!hasDigit && di < s.length) {
+      hasDigit = Character.isDigit(s.charAt(di)); di += 1
+    }
+    if (!hasDigit) return None
     s = Patterns.cachedMatcher(nonNumeric, s).replaceAll("")
     val hasComma = s.indexOf(',') >= 0
     val hasDot = s.indexOf('.') >= 0

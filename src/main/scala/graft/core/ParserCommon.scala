@@ -92,16 +92,20 @@ object ParserCommon {
 
   private def mapBySynonymsKeys(cols: IndexedSeq[String],
                                 fields: Seq[(String, Seq[String])]): mutable.LinkedHashMap[String, Int] = {
-    val lf = loweredFields(fields)
+    val lf = loweredFields(fields).toIndexedSeq
     val mapping = mutable.LinkedHashMap.empty[String, Int]
-    cols.zipWithIndex.foreach { case (colStr, idx) =>
+    var idx = 0
+    while (idx < cols.length) {
+      val colStr = cols(idx)
+      var fi = 0
       var break_ = false
-      lf.foreach { case (field, synonyms) =>
-        if (!break_) {
-          if (synonyms.exists(colStr.contains)) mapping(field) = idx
-          if (mapping.contains(field)) break_ = true
-        }
+      while (!break_ && fi < lf.length) {
+        val field = lf(fi)._1
+        if (Py.containsAny(colStr, lf(fi)._2)) mapping(field) = idx
+        if (mapping.contains(field)) break_ = true
+        fi += 1
       }
+      idx += 1
     }
     mapping
   }
@@ -114,15 +118,22 @@ object ParserCommon {
                      fields: Seq[(String, Seq[String])],
                      collapseWs: Boolean = false): mutable.LinkedHashMap[String, Int] = {
     val mapping = mutable.LinkedHashMap.empty[String, Int]
-    header.zipWithIndex.foreach { case (col, idx) =>
-      col match {
+    val fs = fields.toIndexedSeq
+    var idx = 0
+    while (idx < header.length) {
+      header(idx) match {
         case None => // pd.isna(col) -> continue
         case Some(c) =>
           var s = Py.lower(c)
           if (collapseWs) s = Py.collapseWs(s)
-          fields.collectFirst { case (f, words) if words.exists(s.contains) => f }
-            .foreach(f => mapping(f) = idx)
+          var fi = 0
+          var done = false
+          while (!done && fi < fs.length) {
+            if (Py.containsAny(s, fs(fi)._2)) { mapping(fs(fi)._1) = idx; done = true }
+            fi += 1
+          }
       }
+      idx += 1
     }
     mapping
   }
@@ -137,9 +148,21 @@ object ParserCommon {
   def ilocStr(row: IndexedSeq[Option[String]], i: Int): String = Py.pyStr(iloc(row, i))
 
   /** Non-null, non-empty stripped cell values of a row (the content-fallback
-    * `row_values` collection, invoice_parser.py:256-259). */
-  def rowValues(row: IndexedSeq[Option[String]]): IndexedSeq[String] =
-    row.flatten.map(_.pyStrip).filter(_.nonEmpty)
+    * `row_values` collection, invoice_parser.py:256-259). Single builder
+    * pass — the flatten/map/filter chain built three collections per row. */
+  def rowValues(row: IndexedSeq[Option[String]]): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < row.length) {
+      val c = row(i)
+      if (c.isDefined) {
+        val s = Py.pyStrip(c.get)
+        if (s.nonEmpty) out += s
+      }
+      i += 1
+    }
+    out.result()
+  }
 
   def isEmptyName(name: String): Boolean = {
     val s = name.pyStrip

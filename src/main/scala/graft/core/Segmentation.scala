@@ -91,20 +91,41 @@ object Segmentation {
     val out = mutable.ArrayBuffer.empty[Tab]
     var runStart = -1
     var tableId = 0
-    val cells: Array[IndexedSeq[Option[String]]] = lines.map(splitCells).toArray
+    val cells = new Array[IndexedSeq[Option[String]]](lines.length)
+    var ci = 0
+    while (ci < lines.length) { cells(ci) = splitCells(lines(ci)); ci += 1 }
+
+    // pad to width and append the _page / _table_id meta columns in ONE
+    // array build per row (the padTo + ++ chain copied every row twice)
+    def padMeta(r: IndexedSeq[Option[String]], width: Int,
+                m1: Option[String], m2: Option[String]): IndexedSeq[Option[String]] = {
+      val a = new Array[Option[String]](width + 2)
+      var i = 0
+      while (i < width) { a(i) = if (i < r.length) r(i) else None; i += 1 }
+      a(width) = m1
+      a(width + 1) = m2
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
 
     def flush(endExclusive: Int): Unit = {
       if (runStart >= 0 && endExclusive - runStart >= 2) {
-        val grid = (runStart until endExclusive).map(i => cells(i))
-        val width = grid.map(_.length).max
-        val padded = grid.map(r => r.padTo(width, None: Option[String]))
-        val header = padded.head
-        val rows = padded.tail
-        if (isValidGrid(header, rows)) {
+        var width = 0
+        var i = runStart
+        while (i < endExclusive) {
+          if (cells(i).length > width) width = cells(i).length
+          i += 1
+        }
+        // validation reads the UNPADDED grid: padding only appends None
+        // cells, which change neither the header's non-empty count nor a
+        // row's any-defined-cell test, and header.length < 2 == width < 2
+        // under padding — so validate first, build the final padded+meta
+        // rows once, only for grids that survive
+        if (isValidGridRun(cells, runStart, endExclusive, width)) {
           tableId += 1
-          // append _page / _table_id meta columns (single-payload page = 1)
-          val metaHeader = header ++ IndexedSeq(Some("_page"), Some("_table_id"))
-          val metaRows = rows.map(r => r ++ IndexedSeq(Some("1"), Some(tableId.toString)))
+          val tidCell = Some(tableId.toString)
+          val metaHeader = padMeta(cells(runStart), width, Some("_page"), Some("_table_id"))
+          val metaRows = (runStart + 1 until endExclusive)
+            .map(i => padMeta(cells(i), width, Some("1"), tidCell))
           out += Tab(metaHeader, metaRows)
         }
       }
@@ -152,14 +173,19 @@ object Segmentation {
   }
 
   /** is_valid_table (extractor.py:222-249): >=1 row, >=2 cols, >=2 non-empty
-    * headers, >=1 row with any non-empty cell. */
-  private def isValidGrid(header: IndexedSeq[Option[String]],
-                          rows: IndexedSeq[IndexedSeq[Option[String]]]): Boolean = {
-    if (rows.isEmpty) return false
-    if (header.length < 2) return false
-    val nonEmptyCols = header.count(_.exists(_.strip().nonEmpty))
+    * headers, >=1 row with any non-empty cell — evaluated on the UNPADDED
+    * run (equivalent: the padding cells are all None). */
+  private def isValidGridRun(cells: Array[IndexedSeq[Option[String]]],
+                             runStart: Int, endExclusive: Int, width: Int): Boolean = {
+    if (endExclusive - runStart < 2) return false // no data row
+    if (width < 2) return false                   // padded header length < 2
+    val nonEmptyCols = cells(runStart).count(_.exists(_.strip().nonEmpty))
     if (nonEmptyCols < 2) return false
-    val nonEmptyRows = rows.count(_.exists(_.isDefined))
-    nonEmptyRows >= 1
+    var i = runStart + 1
+    while (i < endExclusive) {
+      if (cells(i).exists(_.isDefined)) return true
+      i += 1
+    }
+    false
   }
 }

@@ -101,9 +101,12 @@ object SupplierProfiles {
     p.headerPatterns.exists(pat => Patterns.search(Patterns.profilePattern(pat), headersText))
   }
 
-  private def parseTableWithProfile(p: Profile, table: Tab, tableIdx: Int): Seq[Item] =
-    table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-      try {
+  private def parseTableWithProfile(p: Profile, table: Tab, tableIdx: Int): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var rowIdx = 0
+    while (rowIdx < table.rows.length) {
+      val row = table.rows(rowIdx)
+      val parsed: Option[Item] = try {
         val firstCell = if (row.nonEmpty) Py.pyStr(row(0)) else ""
         if (Py.containsAny(Py.lower(firstCell), Rules.headerFirstCellTable)) None
         else {
@@ -139,5 +142,9 @@ object SupplierProfiles {
           }
         }
       } catch { case _: Exception => None }
+      parsed.foreach(out += _)
+      rowIdx += 1
     }
+    out.result()
+  }
 }

@@ -48,14 +48,19 @@ object TableExtractor {
     identifyColumns(table) match {
       case None => Nil
       case Some(m) =>
-        table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-          try {
+        val out = Seq.newBuilder[Item]
+        var rowIdx = 0
+        while (rowIdx < table.rows.length) {
+          val row = table.rows(rowIdx)
+          (try {
             val firstCell = if (row.nonEmpty) Py.pyStr(row(0)) else ""
             if (Py.containsAnyLowered(firstCell, Rules.headerFirstCellTable)) None
             else extractItemFromRow(row, m, tableIdx, rowIdx)
               .filter(validateProduct(_, Rules.excludeWordsTableExtractor))
-          } catch { case _: Exception => None }
+          } catch { case _: Exception => None }).foreach(out += _)
+          rowIdx += 1
         }
+        out.result()
     }
   }
 
@@ -140,13 +145,18 @@ object PreciseTableParser {
     identifyColumns(table) match {
       case None => Nil
       case Some(m) =>
-        table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
-          try {
+        val out = Seq.newBuilder[Item]
+        var rowIdx = 0
+        while (rowIdx < table.rows.length) {
+          val row = table.rows(rowIdx)
+          (try {
             if (isHeaderRow(row) || isServiceRowAnyCell(row)) None
             else extractItemFromRow(row, m, tableIdx, rowIdx)
               .filter(validateProduct(_, Rules.excludeWordsPrecise))
-          } catch { case _: Exception => None }
+          } catch { case _: Exception => None }).foreach(out += _)
+          rowIdx += 1
         }
+        out.result()
     }
   }
 

@@ -58,15 +58,27 @@ object TextParser {
     }
 
   private def parseTextLines(shared: SharedLines): Seq[Item] = {
-    shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (line.isEmpty || line.length < Rules.minLineLength || !shared.hasDigit(lineIdx)) None
-      else parseSingleLine(line).map(_.copy(source = s"text_line_$lineIdx", confidence = 0.6))
-    }.toSeq
+    val out = Seq.newBuilder[Item]
+    var lineIdx = 0
+    while (lineIdx < shared.stripped.length) {
+      val line = shared.stripped(lineIdx)
+      if (!line.isEmpty && line.length >= Rules.minLineLength && shared.hasDigit(lineIdx))
+        parseSingleLine(line).foreach(it =>
+          out += it.copy(source = s"text_line_$lineIdx", confidence = 0.6))
+      lineIdx += 1
+    }
+    out.result()
   }
 
   /** Try patterns R1-R3 in order; first VALID match wins (parser.py:216-245). */
   def parseSingleLine(line: String): Option[Item] = {
-    Patterns.textPatterns.iterator.flatMap { p =>
+    // explicit first-match-wins loop: the iterator.flatMap chain
+    // allocated ~5 wrapper objects per call on the per-line hot path
+    val __ps = Patterns.textPatterns
+    var __pi = 0
+    while (__pi < __ps.length) {
+      val p = __ps(__pi)
+      val __r: Option[Item] = {
       val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
@@ -82,6 +94,10 @@ object TextParser {
         val it = Item.base(name, qty, unit, price, currency, total, "regex_match", 0.8)
         if (validateBasic(it)) Some(it) else None
       } catch { case _: Exception => None }
-    }.nextOption()
+      }
+      if (__r.isDefined) return __r
+      __pi += 1
+    }
+    None
   }
 }

@@ -141,18 +141,29 @@ object UniversalCoreParser {
   }
 
   // -- text path (universal_parser.py:642-705): lenient prefilter, 2 patterns --
-  private def parseText(shared: SharedLines): Seq[Item] =
-    shared.stripped.zipWithIndex.flatMap { case (line, lineIdx) =>
-      if (line.isEmpty || line.length < Rules.minLineLength || !shared.hasDigit(lineIdx)) None
-      else {
-        if (shared.headerInvoice(lineIdx) || shared.serviceInvoice(lineIdx)) None
-        else if (Patterns.matchAt(Patterns.allNumericLine, line)) None
-        else parseLine(line).map(_.copy(source = s"universal_text_line_$lineIdx", confidence = 0.7))
-      }
-    }.toSeq
+  private def parseText(shared: SharedLines): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var lineIdx = 0
+    while (lineIdx < shared.stripped.length) {
+      val line = shared.stripped(lineIdx)
+      if (!line.isEmpty && line.length >= Rules.minLineLength && shared.hasDigit(lineIdx) &&
+          !shared.headerInvoice(lineIdx) && !shared.serviceInvoice(lineIdx) &&
+          !Patterns.matchAt(Patterns.allNumericLine, line))
+        parseLine(line).foreach(it =>
+          out += it.copy(source = s"universal_text_line_$lineIdx", confidence = 0.7))
+      lineIdx += 1
+    }
+    out.result()
+  }
 
   private def parseLine(line: String): Option[Item] = {
-    Patterns.universalPatterns.iterator.flatMap { p =>
+    // explicit first-match-wins loop: the iterator.flatMap chain
+    // allocated ~5 wrapper objects per call on the per-line hot path
+    val __ps = Patterns.universalPatterns
+    var __pi = 0
+    while (__pi < __ps.length) {
+      val p = __ps(__pi)
+      val __r: Option[Item] = {
       val m = Patterns.cachedMatcher(p, line)
       if (!m.find()) None
       else try {
@@ -173,7 +184,11 @@ object UniversalCoreParser {
         val it = Item(name, "", qty, unit, price, "RUB", total, "", "universal_regex", 0.8)
         if (validate(it)) Some(it) else None
       } catch { case _: Exception => None }
-    }.nextOption()
+      }
+      if (__r.isDefined) return __r
+      __pi += 1
+    }
+    None
   }
 
   private def hasGroup(p: java.util.regex.Pattern, g: String): Boolean =

@@ -40,6 +40,11 @@ object AllocProbe {
     alloc("comp.tablesOnly")(i => try CompetitiveParser.parse(new SharedLines(""), segs(i)) catch { case _: Exception => Nil })
     alloc("comp.textOnly")(i => try CompetitiveParser.parse(shared(i), Nil) catch { case _: Exception => Nil })
     alloc("comp.structuredText")(i => CompetitiveParser.parseStructuredText(texts(i)))
+    alloc("comp.structShared")(i => CompetitiveParser.parseStructuredTextShared(shared(i)))
+    alloc("dedup-sim") { i =>
+      val its = try CompetitiveParser.parse(shared(i), Nil) catch { case _: Exception => Nil }
+      ParserCommon.dedup(its)
+    }
     alloc("comp.tableLine-loop") { i =>
       val s = shared(i)
       s.stripped.zipWithIndex.foreach { case (line, li) =>
@@ -57,6 +62,23 @@ object AllocProbe {
     alloc("preciseTable")(i => try PreciseTableParser.parse(segs(i)) catch { case _: Exception => Nil })
     alloc("invoice.full")(i => try InvoiceParser.parse(shared(i), segs(i)) catch { case _: Exception => Nil })
     alloc("commercial.full")(i => try CommercialParser.parse(shared(i), segs(i)) catch { case _: Exception => Nil })
+    alloc("supplierProfile")(i => try SupplierProfiles.parseWithProfile(texts(i), segs(i)) catch { case _: Exception => Nil })
+    // envelope sub-phases (everything parseTurn does beyond the parsers)
+    val parserResults = texts.indices.map { i =>
+      graft.core.Engine.parserOrder.map(_ => try {
+        val items = CompetitiveParser.parse(shared(i), segs(i))
+        graft.model.ParserResult("competitive", items, error = false)
+      } catch { case _: Exception => graft.model.ParserResult("competitive", Nil, error = true) })
+    }
+    alloc("env.selectBest")(i => Engine.selectBest(parserResults(i)))
+    alloc("env.lowerText")(i => Py.lower(texts(i)))
+    val lowers = texts.map(Py.lower)
+    alloc("env.scores+quality") { i =>
+      Engine.documentTypeScoresLower(lowers(i))
+      Engine.qualityLower(lowers(i), segs(i))
+      Engine.detectDocumentTypeLower(lowers(i))
+    }
+    alloc("env.recommendations")(i => Engine.recommendations(if (i % 2 == 0) "invoice" else "unknown"))
     alloc("ENGINE.full")(i => Engine.parseTurn("c", 0, texts(i)))
     time("comp.full")(i => try CompetitiveParser.parse(shared(i), segs(i)) catch { case _: Exception => Nil })
     time("univ.full")(i => try UniversalCoreParser.parse(shared(i), segs(i)) catch { case _: Exception => Nil })
