@@ -180,37 +180,39 @@ object CompetitiveParser {
   private def passesPrefilter(line: String, lower: String): Boolean =
     passesStrictLinePrefilter(line, lower, Rules.headerLineCompetitive, Rules.serviceLineCompetitive)
 
-  /** R14 — key:value structured blocks (competitive_parser.py:387-455).
-    * Fast path: most turns contain no blank-line separator at all — a char
-    * scan decides before paying for the regex split. */
+  /** R14 — key:value structured blocks (competitive_parser.py:387-455),
+    * evaluated LINE-WISE over the turn's shared stripped lines: no text
+    * re-split, no block strings, no per-block line re-split.
+    *
+    * Equivalence with the reference's `re.split(r'\n\s*\n')` + per-block
+    * parse: a maximal separator match is "\n <py-space>* \n", which
+    * consumes exactly a run of INTERIOR all-py-space lines (greedy \s*
+    * absorbs the blank lines' content and their inner newlines; the class
+    * [\s\x1c-\x1f] is precisely Py.isPySpace, so `pyStrip(line).isEmpty`
+    * is the all-py-space test). Hence blocks == maximal runs of non-blank
+    * lines. All-py-space lines at the TEXT's boundaries (no \n on their
+    * outer side) attach to the first/last block under the regex split,
+    * but a blank line can never carry a `key: value`, so skipping them is
+    * output-identical; the reference's per-block `block.strip()` +
+    * per-line `strip()` are subsumed by the shared per-line strips. */
   private[core] def parseStructuredText(text: String): Seq[Item] =
-    parseStructuredTextImpl(text, null)
+    parseStructuredTextShared(new SharedLines(text))
 
-  /** Variant reusing the turn's [[SharedLines]]: on the no-gap fast path
-    * the single block IS the whole text, whose stripped lines are exactly
-    * `shared.stripped` (strip only trims the text's ends; boundary-line
-    * trims happen per-line anyway, and empty lines are skipped by the
-    * block loop) — so the text is not re-split and not re-stripped. */
-  private[core] def parseStructuredTextShared(shared: SharedLines): Seq[Item] =
-    parseStructuredTextImpl(shared.text, shared)
-
-  private def parseStructuredTextImpl(text: String, shared: SharedLines): Seq[Item] = {
-    if (shared != null && !Patterns.hasPyBlockGap(text)) {
-      if (!shared.stripped.exists(_.nonEmpty)) Nil // block.strip() empty
-      else parseStructuredLines(shared.stripped)
-        .map(_.copy(source = "structured_text", confidence = 0.9)).toSeq
-    } else {
-      val blocks =
-        if (!Patterns.hasPyBlockGap(text)) Array(text)
-        else Patterns.blockSplit.split(text, -1)
-      blocks.toIndexedSeq.filter(_.pyStrip.nonEmpty).flatMap { block =>
-        parseStructuredBlock(block).map(_.copy(source = "structured_text", confidence = 0.9))
+  private[core] def parseStructuredTextShared(shared: SharedLines): Seq[Item] = {
+    val st = shared.stripped
+    val b = Seq.newBuilder[Item]
+    var i = 0
+    while (i < st.length) {
+      while (i < st.length && st(i).isEmpty) i += 1
+      if (i < st.length) {
+        val start = i
+        while (i < st.length && st(i).nonEmpty) i += 1
+        parseStructuredLines(st, start, i).foreach(it =>
+          b += it.copy(source = "structured_text", confidence = 0.9))
       }
     }
+    b.result()
   }
-
-  private def parseStructuredBlock(block: String): Option[Item] =
-    parseStructuredLines(block.pyStrip.split("\n", -1).map(_.pyStrip))
 
   // R14 key-synonym lists hoisted out of the per-line loop (a Seq literal
   // in the loop body allocates a fresh List per line)
@@ -222,8 +224,10 @@ object CompetitiveParser {
   private val kTotal = Seq("сумма", "итого", "стоимость", "общая")
   private val kSupplier = Seq("поставщик", "supplier", "компания")
 
-  /** Core of the R14 block parser over pre-stripped lines. */
-  private def parseStructuredLines(strippedLines: Array[String]): Option[Item] = {
+  /** Core of the R14 block parser over a [from, until) range of
+    * pre-stripped lines. */
+  private def parseStructuredLines(strippedLines: Array[String],
+                                   from: Int, until: Int): Option[Item] = {
     var name: Option[String] = None
     var qty: Option[Option[Double]] = None   // outer = key present, inner = parsed value
     var unit: Option[String] = None
@@ -231,7 +235,9 @@ object CompetitiveParser {
     var currency: Option[String] = None
     var total: Option[Option[Double]] = None
     var supplier: Option[String] = None
-    strippedLines.foreach { line =>
+    var li = from
+    while (li < until) {
+      val line = strippedLines(li)
       if (line.nonEmpty && line.contains(":")) {
         // split(":", 2) without the array: first ':' partitions the line
         val ci = line.indexOf(':')
@@ -245,6 +251,7 @@ object CompetitiveParser {
         else if (Py.containsAny(key, kTotal)) total = Some(Num.parse(value))
         else if (Py.containsAny(key, kSupplier)) supplier = Some(value)
       }
+      li += 1
     }
     if (name.isDefined && qty.isDefined && price.isDefined) {
       val totalV: Option[Double] = total match {
