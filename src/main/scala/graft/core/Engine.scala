@@ -83,7 +83,7 @@ object Engine {
       n_chars = t.length,
       n_lines = seg.lines.length,
       n_tables = tables.length,
-      has_text = t.pyStrip.length >= Rules.minTextLength,
+      has_text = Py.pyStripLen(t) >= Rules.minTextLength,
       needs_fallback = needsFallbackLower(t, lowerText, tables),
       doc_type = docType,
       invoice_score = invS, commercial_score = comS,
@@ -187,7 +187,7 @@ object Engine {
   def isBestSelectable(it: Item): Boolean = {
     val name = Py.lower(String.valueOf(it.name))
     if (Py.containsAny(name, Rules.bestSelectionServiceWords)) return false
-    if (name.pyStrip.length <= 10) return false
+    if (Py.pyStripLen(name) <= 10) return false
     if (!name.exists(_.isLetter)) return false
     Py.containsAny(name, Rules.bestSelectionProductWords)
   }
@@ -239,7 +239,7 @@ object Engine {
     needsFallbackLower(text, Py.lower(text), tables)
 
   def needsFallbackLower(text: String, lower: String, tables: Seq[Tab]): Boolean = {
-    if (text.pyStrip.length < 100) return true
+    if (Py.pyStripLen(text) < 100) return true
     if (Py.countContains(lower, Rules.qualityGateKeywords) < 2) return true
     if (tables.nonEmpty && !tables.exists(t => t.rows.length > 1 && t.nCols > 2)) return true
     false

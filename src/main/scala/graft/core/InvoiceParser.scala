@@ -167,7 +167,7 @@ object InvoiceParser {
 
   /** invoice_parser.py:491-514 */
   def validate(it: Item): Boolean = {
-    if (it.name == null || it.name.pyStrip.length < 2) return false
+    if (it.name == null || Py.pyStripLen(it.name) < 2) return false
     if (it.qty.isEmpty || it.price.isEmpty) return false
     if (it.qty.get <= 0 || it.price.get <= 0) return false
     if (isServiceRow(it.name, Rules.serviceRowInvoice)) return false

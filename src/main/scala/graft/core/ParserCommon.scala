@@ -192,7 +192,7 @@ object ParserCommon {
   /** Shared basic validation (parser.py:283-297): name len>=2, qty/price
     * present and > 0. */
   def validateBasic(it: Item): Boolean =
-    it.name != null && it.name.pyStrip.length >= 2 &&
+    it.name != null && Py.pyStripLen(it.name) >= 2 &&
       it.qty.isDefined && it.price.isDefined &&
       it.qty.get > 0 && it.price.get > 0
 
@@ -205,7 +205,7 @@ object ParserCommon {
     if (Py.containsAny(name, serviceWords)) return false
     if (!Patterns.search(Patterns.hasLetter2, name)) return false
     if (it.qty.get <= 0 || it.price.get <= 0) return false
-    if (name.pyStrip.length < 5) return false
+    if (Py.pyStripLen(name) < 5) return false
     true
   }
 
@@ -217,7 +217,7 @@ object ParserCommon {
     if (Py.containsAny(name, excludeWords)) return false
     if (!Patterns.search(Patterns.hasLetter2, name)) return false
     if (it.qty.get <= 0 || it.price.get <= 0) return false
-    if (name.pyStrip.length < 5) return false
+    if (Py.pyStripLen(name) < 5) return false
     if (Patterns.productPatterns.exists(p => Patterns.search(p, name))) return true
     if (Patterns.search(Patterns.techSpecDim, name) || Patterns.search(Patterns.techSpecUnit, name)) return true
     false

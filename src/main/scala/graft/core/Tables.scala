@@ -96,6 +96,15 @@ object Py {
     out
   }
 
+  /** length of pyStrip(s) without allocating the stripped copy. */
+  def pyStripLen(s: String): Int = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
+    b - a
+  }
+
   implicit final class PyStringOps(private val s: String) extends AnyVal {
     def pyStrip: String = Py.pyStrip(s)
   }

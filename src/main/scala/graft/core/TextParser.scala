@@ -52,7 +52,7 @@ object TextParser {
     table.rows.zipWithIndex.flatMap { case (row, rowIdx) =>
       // ' '.join(str(cell) for cell in row if notna) (parser.py:187)
       val rowText = row.flatten.mkString(" ")
-      if (rowText.pyStrip.nonEmpty)
+      if (Py.pyStripLen(rowText) > 0)
         parseSingleLine(rowText).map(_.copy(source = s"table_${tableIdx}_row_$rowIdx", confidence = 0.7))
       else None
     }
