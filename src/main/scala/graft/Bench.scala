@@ -162,7 +162,8 @@ object Bench {
       "q43_repetition", "q44_corpus_filter", "q45_stratified_sample",
       "q46_pack_sequences", "q47_quantize_int8", "q48_source_filter",
       "q49_session_window", "q50_contamination_bloom", "q51_dup_spans",
-      "q52_cluster_best", "q53_lexical_commonness")
+      "q52_cluster_best", "q53_lexical_commonness", "q54_vocab_topk",
+      "q55_source_mix")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

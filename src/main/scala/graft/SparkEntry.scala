@@ -1159,6 +1159,30 @@ object SparkEntry {
       |  sum(freq)::DOUBLE / count(*)::DOUBLE AS mean_token_freq
       |FROM f GROUP BY doc_id""".stripMargin
 
+  /** Global top-50 vocabulary (tokenizer-seeding shape). */
+  private def qVocabTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.vocabTopK(t(spark, dir, "documents"), "text", k = 50)
+
+  private val oVocabTopK =
+    """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |vc AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+      |top AS (SELECT term, n FROM vc ORDER BY n DESC, term LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, term, n FROM top""".stripMargin
+
+  /** Corpus-mix audit: per-source doc/token/char totals + token share. */
+  private def qSourceMix(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.sourceMix(t(spark, dir, "documents"), "source", "text")
+
+  private val oSourceMix =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+      |    sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')))::BIGINT AS n_tokens,
+      |    sum(len(text))::BIGINT AS n_chars_total
+      |  FROM documents GROUP BY 1)
+      |SELECT source, n_docs, n_tokens, n_chars_total,
+      |  n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM per)::DOUBLE AS token_share
+      |FROM per""".stripMargin
+
   /** Keep-best dedup representatives: longest doc per cluster, tie min id. */
   private def qClusterBest(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.clusterRepresentatives(
@@ -1232,7 +1256,9 @@ object SparkEntry {
     "q50_contamination_bloom" -> (qContaminationBloom _),
     "q51_dup_spans" -> (qDupSpans _),
     "q52_cluster_best" -> (qClusterBest _),
-    "q53_lexical_commonness" -> (qLexicalCommonness _))
+    "q53_lexical_commonness" -> (qLexicalCommonness _),
+    "q54_vocab_topk" -> (qVocabTopK _),
+    "q55_source_mix" -> (qSourceMix _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1287,7 +1313,9 @@ object SparkEntry {
     "q50_contamination_bloom" -> oContamination,
     "q51_dup_spans" -> oDupSpans,
     "q52_cluster_best" -> oClusterBest,
-    "q53_lexical_commonness" -> oLexicalCommonness)
+    "q53_lexical_commonness" -> oLexicalCommonness,
+    "q54_vocab_topk" -> oVocabTopK,
+    "q55_source_mix" -> oSourceMix)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -204,6 +204,47 @@ object CorpusAnalysis {
         col("sum_token_freq").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /**
+   * Global top-K vocabulary with counts — the tokenizer-vocab seeding /
+   * corpus-profiling primitive. Term counts are a map-side-combinable
+   * groupBy (a hot term partial-aggregates like any other); the global
+   * top-K plans as TakeOrderedAndProject — per-partition top-K merged
+   * once, never a vocabulary-wide global sort. Deterministic tie-break
+   * (count desc, term asc); the rank window runs over the K-row result
+   * only.
+   */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n"), asc("term"))).cast("long"))
+      .select("rank", "term", "n")
+  }
+
+  /**
+   * Corpus-mix audit: per-source document/token/char totals and each
+   * source's share of all corpus tokens — the data-mixture report every
+   * training pipeline keeps next to its sampling weights. One combinable
+   * groupBy on the dimension-sized source key; the global token total
+   * derives from the SAME aggregated table (reused exchange) and joins
+   * back as a broadcast single row, so the corpus is scanned once and
+   * nothing skews. Counts are integer-exact; the share is one division of
+   * exact longs — bit-identical across engines.
+   */
+  def sourceMix(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars_total"))
+    val tot = per.agg(sum("n_tokens").as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
+
   /** Source/domain blocklist filtering (the C4-style badlist step): a
     * broadcast LEFT ANTI join — the blocklist is dimension-sized by
     * definition, so the corpus never shuffles; at 100 TB this is a

@@ -734,6 +734,26 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       k = 3, bands = 8, rowsPerBand = 4, maxBucket = 10000).count() == 30L * 29 / 2)
   }
 
+  test("vocab top-K and source-mix audit: exact counts, shares sum to 1, TakeOrdered plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha", "web"), (2L, "alpha gamma", "web"),
+      (3L, "beta beta", "books"), (4L, "delta", "books"), (5L, "", "code"))
+      .toDF("doc_id", "text", "source")
+    val v = graft.text.CorpusAnalysis.vocabTopK(docs, "text", k = 3)
+    val got = v.collect().sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // counts: alpha 3, beta 3, gamma 1, delta 1 -> tie-break term asc
+    assert(got.toSeq == Seq((1L, "alpha", 3L), (2L, "beta", 3L), (3L, "delta", 1L)))
+    // global top-K must plan as TakeOrdered, not a full sort
+    assert(v.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "vocab top-K must be TakeOrderedAndProject")
+    val m = graft.text.CorpusAnalysis.sourceMix(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getAs[Double]("token_share"))).toMap
+    assert(m("web") == ((2L, 5L, 5.0 / 8.0)))
+    assert(m("books")._2 == 3L && m("code")._2 == 0L)
+    assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-15)
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
