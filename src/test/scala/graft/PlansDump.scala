@@ -197,6 +197,20 @@ object PlansDump {
       "join, so corpus-common grams cannot explode anything.") {
       SparkEntry.queries("q51_dup_spans")(spark, dir).explain("formatted")
     }
+    section("q54 global top-K vocabulary (TakeOrdered, no vocab-wide sort)",
+      "Term counts partial-aggregate map-side (partial_count before the " +
+      "term Exchange — a hot term combines like any other) and the global " +
+      "top-K plans as TakeOrderedAndProject: per-partition top-K merged " +
+      "once; the rank window runs over the K-row result only.") {
+      SparkEntry.queries("q54_vocab_topk")(spark, dir).explain("formatted")
+    }
+    section("q55 source-mix audit (one corpus scan, reused exchange for the total)",
+      "Per-source totals are one combinable groupBy on the dimension key; " +
+      "the corpus-wide token total derives from the SAME aggregated table " +
+      "(reused exchange) and joins back as a broadcast single row — " +
+      "nothing skews, the corpus is scanned once.") {
+      SparkEntry.queries("q55_source_mix")(spark, dir).explain("formatted")
+    }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +
       "codegen'd HOFs over the embedding array: no shuffle, no UDF — at " +
