@@ -107,6 +107,34 @@ class EngineSpec extends AnyFunSuite {
     assert(items.forall(_.confidence == 0.9))
   }
 
+  test("line-wise R14 block walk equals the reference regex split on adversarial whitespace") {
+    // the rewrite's equivalence claim, exercised end-to-end: parsing the
+    // WHOLE text must yield exactly the structured items of parsing each
+    // `re.split(r'\n\s*\n')` block separately — across exotic separators
+    // (NBSP, \x1c, CRLF, tab runs) and boundary blank lines
+    val pat = java.util.regex.Pattern.compile("\\n[\\s\\x1c-\\x1f]*\\n",
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+    def structured(items: Seq[Item]) =
+      items.filter(_.source == "structured_text")
+        .map(i => (i.name, i.qty, i.price, i.total))
+    def block(n: Int) =
+      s"Наименование: Товар $n\nКоличество: $n\nЦена: ${n}00"
+    val seps = Seq("\n\n", "\n \n", "\n \n", "\n\n", "\r\n\r\n", "\n\t \t\n\n")
+    val texts = Seq(
+      seps.zipWithIndex.foldLeft(block(1)) { case (acc, (sep, i)) => acc + sep + block(i + 2) },
+      "  \n" + block(1) + "\n\n" + block(2) + "\n  ", // boundary blank lines
+      "\n" + block(3) + "\n",                  // \x1c boundary lines
+      block(4) + "\r\n\r\n" + block(5))
+    texts.foreach { text =>
+      val whole = structured(CompetitiveParser.parse(text, Nil))
+      val perBlock = pat.split(text, -1).toSeq
+        .filter(b => Py.pyStripLen(b) > 0)
+        .flatMap(b => structured(CompetitiveParser.parse(b, Nil)))
+      assert(whole.nonEmpty, s"fixture must produce items: ${text.take(40)}")
+      assert(whole == perBlock, s"text=${text.replace("\n", "\\n")}")
+    }
+  }
+
   test("supplier profile routing (J4) with per-profile filters") {
     val text =
       """ООО 'БАЛТКАБЕЛЬ' ИНН 7800000000
