@@ -1065,21 +1065,22 @@ object SparkEntry {
        |SELECT DISTINCT id_a, id_b, cosine FROM p WHERE cosine > $threshold""".stripMargin
   }
 
-  /** The whole IVF chain — deterministic sampled training, seed selection,
-    * argmax assignment, id-ordered Lloyd fold, probe selection, final
-    * top-k — expressed in SQL with the same fold orders as
-    * graft.ann.Similarity, so the result is bit-identical. */
-  private def ivfSql(k: Int, nProbe: Int, topK: Int, nQueries: Int, trainCap: Long): String = {
-    val argmax = (vec: String) =>
-      s"""list_reduce(list_prepend({'cos': -2.0::DOUBLE, 'cid': (-1)::BIGINT},
-         |    list_transform(cl, ct -> {'cos': ${cosSql(vec, "ct.c")}, 'cid': ct.cid})),
-         |    (a, b) -> CASE WHEN b.cos > a.cos THEN b ELSE a END).cid""".stripMargin
-    s"""WITH v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def ivfArgmaxSql(vec: String): String =
+    s"""list_reduce(list_prepend({'cos': -2.0::DOUBLE, 'cid': (-1)::BIGINT},
+       |    list_transform(cl, ct -> {'cos': ${cosSql(vec, "ct.c")}, 'cid': ct.cid})),
+       |    (a, b) -> CASE WHEN b.cos > a.cos THEN b ELSE a END).cid""".stripMargin
+
+  /** Shared IVF-training + corpus-assignment CTEs (deterministic sampled
+    * training, seed selection, argmax assignment, id-ordered Lloyd fold)
+    * with the same fold orders as graft.ann.Similarity — used by the q30
+    * and q56 oracles; ends with `asg` = (id, v, cid). */
+  private def ivfTrainCtes(k: Int, trainCap: Long): String =
+    s"""v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |tr AS (SELECT * FROM v WHERE id < $trainCap),
        |par AS (SELECT greatest(1, (SELECT count(*) FROM tr) // $k) AS stride),
        |seeds AS (SELECT id AS cid, v AS c FROM tr, par WHERE id % stride = 0 ORDER BY id LIMIT $k),
        |c1 AS (SELECT list({'cid': cid, 'c': c} ORDER BY cid) AS cl FROM seeds),
-       |a1 AS (SELECT tr.id, tr.v, ${argmax("tr.v")} AS cid FROM tr, c1),
+       |a1 AS (SELECT tr.id, tr.v, ${ivfArgmaxSql("tr.v")} AS cid FROM tr, c1),
        |grp AS (SELECT cid, list({'id': id, 'v': v} ORDER BY id) AS lst FROM a1 GROUP BY cid),
        |cm AS (SELECT cid, list_transform(
        |    list_reduce(list_prepend([0.0::DOUBLE FOR i IN range(len(lst[1].v))],
@@ -1088,7 +1089,12 @@ object SparkEntry {
        |    x -> x / len(lst)::DOUBLE) AS c
        |  FROM grp),
        |c2 AS (SELECT list({'cid': cid, 'c': c} ORDER BY cid) AS cl FROM cm),
-       |asg AS (SELECT v.id, v.v, ${argmax("v.v")} AS cid FROM v, c2),
+       |asg AS (SELECT v.id, v.v, ${ivfArgmaxSql("v.v")} AS cid FROM v, c2)""".stripMargin
+
+  /** The whole IVF chain — training/assignment CTEs + probe selection +
+    * final top-k — bit-identical to graft.ann.Similarity.ivfTopK. */
+  private def ivfSql(k: Int, nProbe: Int, topK: Int, nQueries: Int, trainCap: Long): String = {
+    s"""WITH ${ivfTrainCtes(k, trainCap)},
        |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < $nQueries),
        |pr AS (SELECT query_id, qv, unnest(list_transform(
        |    list_sort(list_transform(cl, ct -> {'negcos': 0.0::DOUBLE - (${cosSql("qv", "ct.c")}), 'cid': ct.cid}))[1:$nProbe],
@@ -1098,6 +1104,26 @@ object SparkEntry {
        |       FROM pr JOIN asg ON pr.centroid_id = asg.cid AND pr.query_id != asg.id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank FROM sc)
        |SELECT query_id, rank, nbr_id, cosine FROM r WHERE rank <= $topK""".stripMargin
+  }
+
+  /** SemDeDup-shaped semantic near-dup pairs: IVF-clustered cosine
+    * comparison within clusters only (graft.ann.Similarity.semDedupPairs). */
+  private def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Similarity.semDedupPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = 16, trainCap = 4096L, threshold = 0.3, maxBucket = 10000)
+
+  /** q56 oracle: the SAME deterministic training/assignment CTEs as q30
+    * (bit-identical centroids), then in-cluster pairs above the cosine
+    * threshold with the cap mirrored as HAVING count(*) <= maxBucket. */
+  private val oSemDedup = {
+    val t = 0.3
+    s"""WITH ${ivfTrainCtes(16, 4096L)},
+       |ok AS (SELECT cid FROM asg GROUP BY 1 HAVING count(*) <= 10000),
+       |ex AS (SELECT asg.* FROM asg JOIN ok USING (cid)),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b, x.cid AS cid,
+       |        ${cosSql("x.v", "y.v")} AS cosine
+       |      FROM ex x JOIN ex y USING (cid) WHERE x.id < y.id)
+       |SELECT id_a, id_b, cid, cosine FROM p WHERE cosine > $t""".stripMargin
   }
 
   /** q26 oracle: the multimodal metadata contract — media synthesis (kind
@@ -1258,7 +1284,8 @@ object SparkEntry {
     "q52_cluster_best" -> (qClusterBest _),
     "q53_lexical_commonness" -> (qLexicalCommonness _),
     "q54_vocab_topk" -> (qVocabTopK _),
-    "q55_source_mix" -> (qSourceMix _))
+    "q55_source_mix" -> (qSourceMix _),
+    "q56_semdedup_pairs" -> (qSemDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1315,7 +1342,8 @@ object SparkEntry {
     "q52_cluster_best" -> oClusterBest,
     "q53_lexical_commonness" -> oLexicalCommonness,
     "q54_vocab_topk" -> oVocabTopK,
-    "q55_source_mix" -> oSourceMix)
+    "q55_source_mix" -> oSourceMix,
+    "q56_semdedup_pairs" -> oSemDedup)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -178,6 +178,44 @@ object Similarity {
     refined.sortBy(_._1)
   }
 
+  /**
+   * SemDeDup-shaped semantic near-duplicate pairs (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication", arXiv:2303.09540): embeddings are partitioned by
+   * their nearest coarse-quantizer centroid (the paper's k-means step,
+   * reusing [[trainIvfCentroids]]' deterministic training) and cosine
+   * near-duplicates are detected WITHIN each cluster only — the
+   * corpus-scale move that turns O(n^2) semantic dedup into k
+   * independent in-cluster comparisons. Cross-cluster near-dups are
+   * missed by construction (the paper's accepted approximation).
+   *
+   * Scale shape: assignment is a map-side literal-centroid argmax (zero
+   * shuffle); the assigned working set is localCheckpoint'ed once (it
+   * feeds the cap count and both self-join sides — same justification as
+   * [[lshNearPairs]]); a degenerate dense cluster is excluded by the
+   * KeyCaps broadcast anti-join (<= k over-cap keys — trivially bounded)
+   * instead of exploding quadratically. A pair lands in exactly one
+   * cluster, so no cross-band distinct is needed. Composable with
+   * graft.dedup.Dedup.dedupClusters / clusterRepresentatives for
+   * keeper selection.
+   */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 16, trainCap: Long = 4096L,
+                    threshold: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
+    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainCap)
+    val assigned = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cid", nearestCentroid(col("v"), cents))
+      .localCheckpoint()
+    val capped = graft.skew.KeyCaps.dropOverCapKeys(assigned, Seq("cid"), maxBucket)
+    val a = capped.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") > threshold)
+      .select("id_a", "id_b", "cid", "cosine")
+  }
+
   /** IVF search: assign corpus map-side, probe the nProbe nearest
     * centroids per query (picked map-side by sorting the literal centroid
     * scores — no window), join candidates on the centroid key, salted

@@ -754,6 +754,28 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-15)
   }
 
+  test("SemDeDup pairs: one cluster equals brute force; multi-cluster is a subset; cap empties") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = canon(graft.dedup.Dedup.embeddingNearDup(
+      vecs, "vec_id", "embedding", maxId = 40L, threshold = 0.3))
+    // k=1: a single cluster holds everything -> exactly the brute-force pairs
+    val one = canon(graft.ann.Similarity.semDedupPairs(
+      vecs, "vec_id", "embedding", k = 1, threshold = 0.3))
+    assert(one.nonEmpty && one == brute)
+    // k>1: within-cluster comparison only -> a subset of brute force
+    val multi = canon(graft.ann.Similarity.semDedupPairs(
+      vecs, "vec_id", "embedding", k = 4, threshold = 0.3))
+    assert(multi.subsetOf(brute))
+    // a cluster denser than maxBucket is excluded, not exploded
+    assert(graft.ann.Similarity.semDedupPairs(
+      vecs, "vec_id", "embedding", k = 1, threshold = 0.3, maxBucket = 10).count() == 0L)
+  }
+
   test("multimodal metadata extraction is deterministic over binary payloads") {
     import spark.implicits._
     val docs = Seq((0L, "some text payload"), (1L, "другой текст"), (2L, "v")).toDF("doc_id", "text")
