@@ -211,6 +211,15 @@ object PlansDump {
       "nothing skews, the corpus is scanned once.") {
       SparkEntry.queries("q55_source_mix")(spark, dir).explain("formatted")
     }
+    section("q56 SemDeDup pairs (map-side cluster assignment, capped in-cluster join)",
+      "Embeddings assign to their nearest coarse-quantizer centroid in a " +
+      "pure Projection over literal centroids (zero assignment shuffle), " +
+      "the assigned set materializes once, over-dense clusters anti-filter " +
+      "via BroadcastHashJoin LeftAnti, and cosine comparison happens only " +
+      "inside clusters — the O(n^2) semantic dedup becomes k independent " +
+      "bounded self-joins.") {
+      SparkEntry.queries("q56_semdedup_pairs")(spark, dir).explain("formatted")
+    }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +
       "codegen'd HOFs over the embedding array: no shuffle, no UDF — at " +
