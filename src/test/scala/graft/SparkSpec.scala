@@ -754,6 +754,31 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-15)
   }
 
+  test("KeyCaps guards equal the window-count formulations they replaced, on Zipf-skewed keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic Zipf-ish skew: key k0 holds ~45% of rows, long tail of
+    // singletons — the exact shape the guards exist for
+    val rows = (0 until 4000).map(i => (s"k${math.sqrt(i).toInt}", i.toLong))
+      .toDF("key", "v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("v").collect().map(_.getLong(0)).toSet
+    for (cap <- Seq(1, 5, 63, 200, 4000)) {
+      val guarded = ids(graft.skew.KeyCaps.dropOverCapKeys(rows, Seq("key"), cap))
+      val windowed = ids(rows
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("key")))
+        .where(col("__n") <= cap).drop("__n"))
+      assert(guarded == windowed, s"dropOverCapKeys cap=$cap")
+    }
+    for (min <- Seq(1, 2, 64, 500)) {
+      val guarded = ids(graft.skew.KeyCaps.keepKeysWithCountAtLeast(rows, Seq("key"), min))
+      val windowed = ids(rows
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("key")))
+        .where(col("__n") >= min).drop("__n"))
+      assert(guarded == windowed, s"keepKeysWithCountAtLeast min=$min")
+    }
+  }
+
   test("SemDeDup pairs: one cluster equals brute force; multi-cluster is a subset; cap empties") {
     import spark.implicits._
     val vecs = (0L until 40L).map { i =>
