@@ -79,19 +79,39 @@ object Bench {
 
   /** Deterministic allocation rate of the per-turn engine (ThreadMXBean —
     * robust to host CPU jitter, unlike wall time): the input for the
-    * memory-bandwidth ceiling analysis in BASELINE.md. */
+    * memory-bandwidth ceiling analysis in BASELINE.md.
+    *
+    * 20k warmup iterations (a 2k warmup left the loop below the final JIT
+    * tier in noisy driver windows and read ~25% high — the round-4
+    * 58k-vs-73k artifact discrepancy), then the MINIMUM of 3 measured
+    * passes: allocation is deterministic per turn, so any excess in a
+    * pass is residual compilation/profiling noise and the minimum is the
+    * true rate. */
   private def allocBytesPerTurn(): Double = {
     val texts = (0L until 2000L).map(id => graft.io.Transcripts.payload(42L, id)).toArray
     val mx = java.lang.management.ManagementFactory.getThreadMXBean
       .asInstanceOf[com.sun.management.ThreadMXBean]
     var i = 0
-    while (i < 2000) { graft.core.Engine.parseTurn("c", 0, texts(i % texts.length)); i += 1 }
-    val a0 = mx.getCurrentThreadAllocatedBytes
-    i = 0
+    while (i < 20000) { graft.core.Engine.parseTurn("c", 0, texts(i % texts.length)); i += 1 }
     val n = 4000
-    while (i < n) { graft.core.Engine.parseTurn("c", 0, texts(i % texts.length)); i += 1 }
-    (mx.getCurrentThreadAllocatedBytes - a0).toDouble / n
+    val passes = (0 until 3).map { _ =>
+      val a0 = mx.getCurrentThreadAllocatedBytes
+      var j = 0
+      while (j < n) { graft.core.Engine.parseTurn("c", 0, texts(j % texts.length)); j += 1 }
+      (mx.getCurrentThreadAllocatedBytes - a0).toDouble / n
+    }
+    passes.min
   }
+
+  /** True median (average of the middle two on even counts — an even
+    * round set's upper-middle element flattered degraded windows). */
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,8 +134,10 @@ object Bench {
     // interleaved rounds at high core counts: the host's CPU delivery can
     // degrade for whole minutes at a time, which best-of-reps inside one
     // window cannot defend against — more widely-spaced rounds can (the
-    // best-of-rounds and median statistics both get more robust per round)
-    val nRounds = if (cpus >= 16) 4 else 1
+    // best-of-rounds and median statistics both get more robust per
+    // round). ODD count: the median is then a real round's paired sample,
+    // and one collapsed round can neither flatter nor sink the headline.
+    val nRounds = if (cpus >= 16) 5 else 1
     val rounds = (1 to nRounds).map { _ =>
       (pinnedRun(small, scalingTurns, reps), pinnedRun(cpus, scalingTurns, reps, ceilSmall = small))
     }
@@ -149,6 +171,10 @@ object Bench {
     val normalizedEff = math.min(1.0, efficiency / engineEff)
 
     val spark = session(cpus)
+    // cap-drop observability (graft.skew.CapMetrics): per-site dropped
+    // keys/rows from every KeyCaps guard that fired during the benched
+    // queries — surfaced in the JSON line so silent truncation is visible
+    val caps = graft.skew.CapMetrics.register(spark)
 
     // -- per-query timings on the sf dir ---------------------------------
     val benchQueries = Seq(
@@ -179,6 +205,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    caps.clear() // only the timed sf-dir runs count
     val results = benchQueries.flatMap { name =>
       all.get(name).map { fn =>
         val sec = try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -186,6 +213,8 @@ object Bench {
         name -> sec
       }
     }
+    org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+    val capDropsJson = graft.skew.CapMetrics.toJson(caps.snapshot())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-round (widely-spaced window) PAIRED samples: each round carries
@@ -209,18 +238,16 @@ object Bench {
     }.mkString("[", ",", "]")
     val rawPerRound = rounds.map { case (rs, rb) =>
       math.min(1.0, (scalingTurns / rb.bestSec) / ((scalingTurns / rs.bestSec) * factor))
-    }.sorted
-    val rawMedian =
-      if (rawPerRound.isEmpty) 0.0 else rawPerRound(rawPerRound.length / 2)
+    }
+    val rawMedian = median(rawPerRound)
     val normPerRound = rounds.map { case (rs, rb) =>
       val rawEff = math.min(1.0,
         (scalingTurns / rb.bestSec) / ((scalingTurns / rs.bestSec) * factor))
       if (rb.engineSmallOps > 0 && rb.engineOps > 0)
         math.min(1.0, rawEff / math.min(1.0, rb.engineOps / (rb.engineSmallOps * factor)))
       else 0.0
-    }.filter(_ > 0).sorted
-    val normMedian =
-      if (normPerRound.isEmpty) 0.0 else normPerRound(normPerRound.length / 2)
+    }.filter(_ > 0)
+    val normMedian = median(normPerRound)
     // memory-bus saturation evidence: a pure streaming-read loop's
     // aggregate GB/s at small vs big thread counts — if it stops growing,
     // the socket is the bottleneck, not the engine or Spark
@@ -258,7 +285,7 @@ object Bench {
       f""""efficiency_vs_ceiling_legacy":$normalizedEff%.3f}"""
     val totalS = f"$total%.3f"
     val thrS = f"$thrBig%.1f"
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","turns_per_sec":$thrS,"scaling":$scaling}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","turns_per_sec":$thrS,"cap_drops":$capDropsJson,"scaling":$scaling}""")
     spark.stop()
   }
 }

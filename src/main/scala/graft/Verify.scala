@@ -15,13 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // cap-drop observability: every KeyCaps/maxBucket guard reports how
+    // many keys/rows its cap removed (CapMetrics scaladoc) — dumped per
+    // query below so silent truncation shows up in the round artifacts
+    val caps = graft.skew.CapMetrics.register(spark)
+    val capsByQuery = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      caps.clear()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+        val snap = caps.snapshot()
+        if (snap.nonEmpty) capsByQuery(name) = graft.skew.CapMetrics.toJson(snap)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/cap_metrics.json"),
+      capsByQuery.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -108,7 +108,7 @@ object Similarity {
     val vv0 = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planeWeights(nPlanes, dim)))
       .localCheckpoint()
-    val vv = graft.skew.KeyCaps.dropOverCapKeys(vv0, Seq("bucket"), maxBucket)
+    val vv = graft.skew.KeyCaps.dropOverCapKeys(vv0, Seq("bucket"), maxBucket, site = "lsh_embedding_buckets")
     val a = vv.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = vv.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
@@ -207,7 +207,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("cid", nearestCentroid(col("v"), cents))
       .localCheckpoint()
-    val capped = graft.skew.KeyCaps.dropOverCapKeys(assigned, Seq("cid"), maxBucket)
+    val capped = graft.skew.KeyCaps.dropOverCapKeys(assigned, Seq("cid"), maxBucket, site = "semdedup_clusters")
     val a = capped.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))

@@ -124,7 +124,7 @@ object Dedup {
         posexplode(positionalGrams(col("tk"), k)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
         md5Hash60(col("sh")).as("h"))
-    val dup = graft.skew.KeyCaps.keepKeysWithCountAtLeast(base, Seq("h"), minCount)
+    val dup = graft.skew.KeyCaps.keepKeysWithCountAtLeast(base, Seq("h"), minCount, site = "dup_span_grams")
       .select("doc_id", "n_tokens", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -187,7 +187,8 @@ object Dedup {
     * excluded — the explicit skew guard; at LSH-sensible parameters a
     * bucket that large is a degenerate collision class, not a near-dup
     * set. */
-  private def pairsWithinBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private def pairsWithinBuckets(banded: DataFrame, maxBucket: Int,
+                                 site: String): DataFrame = {
     // broadcast-hot-set guard (graft.skew.KeyCaps): bucket sizes from a
     // map-side-combinable groupBy count, over-cap buckets dropped by a
     // broadcast anti-join BEFORE their rows enter the bucket exchange or
@@ -200,7 +201,7 @@ object Dedup {
     // scale). Singleton buckets emit no pairs and are dropped after the
     // aggregation (1-element lists — no extra shuffle).
     val grouped = graft.skew.KeyCaps
-      .dropOverCapKeys(banded, Seq("band", "bucket"), maxBucket)
+      .dropOverCapKeys(banded, Seq("band", "bucket"), maxBucket, site = site)
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
@@ -219,7 +220,7 @@ object Dedup {
                         k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                         maxBucket: Int = 10000): DataFrame =
     candidatesFromSigs(minhashSignatures(df, idCol, textCol, k, bands * rowsPerBand),
-      idCol, bands, rowsPerBand, maxBucket)
+      idCol, bands, rowsPerBand, maxBucket, site = "minhash_buckets")
 
   /** Candidate pairs from a signature table (idCol, sig) — split out so
     * [[lshDedupClusters]] can feed a MATERIALIZED signature table: the
@@ -228,10 +229,10 @@ object Dedup {
     * of a second corpus-wide shingle+signature pass. */
   private[dedup] def candidatesFromSigs(sigs: DataFrame, idCol: String,
                                         bands: Int, rowsPerBand: Int,
-                                        maxBucket: Int): DataFrame = {
+                                        maxBucket: Int, site: String): DataFrame = {
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(minhashBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
-    pairsWithinBuckets(banded, maxBucket)
+    pairsWithinBuckets(banded, maxBucket, site)
   }
 
   /** Exact n-gram Jaccard verify over given candidate pairs (the scale
@@ -333,7 +334,8 @@ object Dedup {
     // inside jaccardVerify and verified feeds nodes+edges in dedupClusters
     // — without truncation every reuse re-executes the corpus-wide
     // signature pass (measured 6s -> ~3s at sf0.1 from this alone).
-    val cands = candidatesFromSigs(sigs, "doc_id", bands, rowsPerBand, 10000)
+    val cands = candidatesFromSigs(sigs, "doc_id", bands, rowsPerBand, 10000,
+        site = "lsh_chain_buckets")
       .localCheckpoint()
     val verified = jaccardVerify(reps, cands, "doc_id", "__text", k, threshold)
       .select("id_a", "id_b").localCheckpoint()
@@ -358,13 +360,16 @@ object Dedup {
    * smallest id), not an arbitrary member. Composes [[lshDedupClusters]]
    * (which pre-collapses exact-dup families, so a billion identical
    * copies are one chain node) with a per-cluster argmax computed as a
-   * COMBINABLE max-struct aggregate, not a window: the giant family
+   * COMBINABLE min-struct aggregate, not a window: the giant family
    * re-expands into its cluster here, and a window over cluster_id would
-   * serialize all its members through one task — the max(struct(score,
-   * -id)) aggregate partial-combines them map-side instead. Requires
-   * numeric ids (the negation is the deterministic min-id tie-break).
-   * Docs in no cluster are their own keeper by definition — the output
-   * surfaces duplicate families only.
+   * serialize all its members through one task — the
+   * min(struct(-score, id, score)) aggregate partial-combines them
+   * map-side instead (min of the negated score = argmax of the score,
+   * ties -> smallest id; the third field carries the untouched score out,
+   * so keeper_id keeps the input id TYPE and keeper_score the input's
+   * exact bits — no 0-id negation, no Long.MinValue overflow, non-numeric
+   * orderable ids fine). Docs in no cluster are their own keeper by
+   * definition — the output surfaces duplicate families only.
    */
   def clusterRepresentatives(df: DataFrame, idCol: String, textCol: String,
                              scoreCol: String,
@@ -375,9 +380,10 @@ object Dedup {
       df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")), Seq("doc_id"))
     scored.groupBy("cluster_id").agg(
         count(lit(1)).as("n_members"),
-        max(struct(col("__score").as("s"), (lit(0L) - col("doc_id")).as("negid"))).as("__b"))
+        min(struct((lit(0.0) - col("__score").cast("double")).as("negs"),
+          col("doc_id"), col("__score").as("s"))).as("__b"))
       .select(col("cluster_id"), col("n_members"),
-        (lit(0L) - col("__b.negid")).as("keeper_id"), col("__b.s").as("keeper_score"))
+        col("__b.doc_id").as("keeper_id"), col("__b.s").as("keeper_score"))
   }
 
   /**
@@ -430,7 +436,7 @@ object Dedup {
     // groupBy count + broadcast anti-join drops a degenerate block's rows
     // map-side before the bucket exchange; singletons fall out post-agg
     val grouped = graft.skew.KeyCaps
-      .dropOverCapKeys(banded, Seq("block", "block_val"), maxBucket)
+      .dropOverCapKeys(banded, Seq("block", "block_val"), maxBucket, site = "simhash_buckets")
       .groupBy("block", "block_val")
       .agg(sort_array(collect_list(struct(col("id"), col("blocks")))).as("ms"))
       .where(size(col("ms")) >= 2)

@@ -83,9 +83,16 @@ object Matching {
    * candidates below a surviving pair's score always rank below it, so
    * absent sub-threshold pairs cannot shift ranks).
    *
-   * Precondition: items are unique by `itemKeyCols` (candidate dedup and
-   * the final payload join-back key on them; payload columns may be of
-   * unorderable types — maps — and never enter a distinct).
+   * PRECONDITION (violated = silently wrong output, not an error): items
+   * must be UNIQUE by `itemKeyCols` — the candidate dedup and the final
+   * payload join-back key on them, so duplicate item keys would both
+   * merge distinct items' candidate sets in the per-key window AND
+   * multiply ranked rows through the join-back. [[topMatches]] has no
+   * such precondition (it carries payload columns through); payload
+   * columns here may be of unorderable types — maps — and never enter a
+   * distinct, which is why the join-back exists. SparkSpec asserts the
+   * q41 input satisfies it and that a deliberately-duplicated key
+   * demonstrates the documented failure shape.
    */
   def topMatchesBlocked(items: DataFrame, products: DataFrame,
                         itemKeyCols: Seq[String], nameCol: String = "name",

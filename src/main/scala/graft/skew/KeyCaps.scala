@@ -26,11 +26,20 @@ import org.apache.spark.sql.functions._
  * through a single task. Callers whose input is already materialized
  * (localCheckpoint) pay nothing.
  *
- * Keys must be NON-NULL (join, not window, semantics on nulls) — every
- * call site keys on md5/hash-derived or concat-derived columns, which
- * never are.
+ * Null keys behave exactly like the window counts these guards replaced:
+ * the joins use NULL-SAFE equality (<=>), so a null key is one more key
+ * value — grouped together by the count (as groupBy already does) and
+ * capped like any other. Current call sites key on md5/hash/concat
+ * columns that are never null, but a future nullable-key call site gets
+ * window semantics, not silently inverted join semantics.
  */
 object KeyCaps {
+
+  private def nullSafeCond(left: DataFrame, keyCols: Seq[String], rightPrefix: String) =
+    keyCols.map(k => left(k) <=> col(s"$rightPrefix$k")).reduce(_ && _)
+
+  private def renamedKeys(keyCols: Seq[String], prefix: String) =
+    keyCols.map(k => col(k).as(s"$prefix$k"))
 
   /**
    * Drop every row whose key occurs more than `maxCount` times. The
@@ -38,13 +47,20 @@ object KeyCaps {
    * |rows| / maxCount keys can exceed the cap — so it broadcasts, and the
    * anti-join filters map-side: a billion-row degenerate key never
    * crosses an exchange at all.
+   *
+   * `site` (optional): attach a named observation on the key-count branch
+   * counting capped keys and the rows they drop — surfaced through
+   * [[CapMetrics]] after any action on the final query. Names must be
+   * unique within one query; empty = no observation.
    */
-  def dropOverCapKeys(df: DataFrame, keyCols: Seq[String], maxCount: Long): DataFrame = {
+  def dropOverCapKeys(df: DataFrame, keyCols: Seq[String], maxCount: Long,
+                      site: String = ""): DataFrame = {
     val keys = keyCols.map(col)
-    val hot = df.groupBy(keys: _*).agg(count(lit(1)).as("__keycap_n"))
-      .where(col("__keycap_n") > maxCount)
-      .select(keys: _*)
-    df.join(broadcast(hot), keyCols, "left_anti")
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("__keycap_n"))
+    val observed = CapMetrics.observeDrops(counts, col("__keycap_n") > maxCount, site)
+    val hot = observed.where(col("__keycap_n") > maxCount)
+      .select(renamedKeys(keyCols, "__cap_"): _*)
+    df.join(broadcast(hot), nullSafeCond(df, keyCols, "__cap_"), "left_anti")
   }
 
   /**
@@ -52,13 +68,18 @@ object KeyCaps {
    * kept and dropped key sets are unbounded here (e.g. duplicated vs
    * unique k-grams), so neither side broadcasts — a plain semi-join
    * against the combinable key counts, which AQE skew-splits if one kept
-   * key dominates.
+   * key dominates (asserted by SparkSpec's executed-plan check).
+   *
+   * `site`: as in [[dropOverCapKeys]] — here the observation counts the
+   * below-min keys/rows the semi-join filters out.
    */
-  def keepKeysWithCountAtLeast(df: DataFrame, keyCols: Seq[String], minCount: Long): DataFrame = {
+  def keepKeysWithCountAtLeast(df: DataFrame, keyCols: Seq[String], minCount: Long,
+                               site: String = ""): DataFrame = {
     val keys = keyCols.map(col)
-    val ok = df.groupBy(keys: _*).agg(count(lit(1)).as("__keycap_n"))
-      .where(col("__keycap_n") >= minCount)
-      .select(keys: _*)
-    df.join(ok, keyCols, "left_semi")
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("__keycap_n"))
+    val observed = CapMetrics.observeDrops(counts, col("__keycap_n") < minCount, site)
+    val ok = observed.where(col("__keycap_n") >= minCount)
+      .select(renamedKeys(keyCols, "__cap_"): _*)
+    df.join(ok, nullSafeCond(df, keyCols, "__cap_"), "left_semi")
   }
 }

@@ -66,7 +66,10 @@ object StreamingExtract {
   // ---- watermark-bounded MinHash near-dup candidates -----------------------
 
   final case class BucketDoc(id: Long, tsUs: Long)
-  final case class BucketState(docs: List[BucketDoc])
+  /** `overCapUntilUs` > 0 marks a tombstoned (over-cap) bucket: pairing is
+    * suspended until the watermark passes the bucket's latest arrival —
+    * the bucket has actually DRAINED, not merely been forgotten. */
+  final case class BucketState(docs: List[BucketDoc], overCapUntilUs: Long = 0L)
   final case class CandPair(id_a: Long, id_b: Long)
 
   /**
@@ -89,10 +92,15 @@ object StreamingExtract {
    *  - With a horizon wider than the data span, the distinct pair set
    *    EQUALS batch minhashCandidates (StreamingSpec differential).
    *  - `maxBucket` mirrors the batch degenerate-bucket cap as the bucket
-   *    GROWS: once live docs exceed it the bucket's state is dropped and
-   *    nothing further is emitted until it drains; pairs emitted before
-   *    the crossing are not retracted (append streams cannot retract) —
-   *    the batch operator is the authority for exact cap semantics.
+   *    GROWS, and the check runs BEFORE any pair materializes: when
+   *    live + incoming docs would exceed the cap, the batch's pairing
+   *    loop never starts (a 100k-identical-doc microbatch costs O(n)
+   *    state, not O(n^2) pair objects) and the bucket is TOMBSTONED —
+   *    it emits nothing further until the watermark passes its latest
+   *    arrival (i.e. it has actually drained), arrivals during the
+   *    tombstone extending the drain point. Pairs emitted before the
+   *    crossing are not retracted (append streams cannot retract) — the
+   *    batch operator is the authority for exact cap semantics.
    */
   def streamingNearDup(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
                        horizon: String = "10 minutes",
@@ -118,32 +126,49 @@ object StreamingExtract {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_, rows, state) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prev = state.getOption.map(_.docs).getOrElse(Nil).filter(_.tsUs >= wmUs)
+          val st = state.getOption
           // deterministic in-batch order: a pair is emitted by its later
           // (ts, id) member against everything live before it
           val incoming = rows.map(r => BucketDoc(r._2, r._3)).toList
             .sortBy(d => (d.tsUs, d.id))
-          val out = List.newBuilder[CandPair]
-          var live = prev
-          incoming.foreach { d =>
-            live.foreach { o =>
-              if (o.id != d.id)
-                out += (if (o.id < d.id) CandPair(o.id, d.id) else CandPair(d.id, o.id))
-            }
-            live = d :: live
-          }
-          if (live.size > maxBucket) {
-            state.remove() // degenerate collision class — same spirit as the batch cap
-            Iterator.empty
-          } else {
-            val keep = live.filter(_.tsUs >= wmUs)
-            if (keep.isEmpty) state.remove()
+          def tombstone(untilUs: Long): Iterator[CandPair] = {
+            if (wmUs >= untilUs) state.remove() // drained — pairing may resume
             else {
-              state.update(BucketState(keep))
-              state.setTimeoutTimestamp(math.max(keep.map(_.tsUs).max / 1000L + 1L,
+              state.update(BucketState(Nil, overCapUntilUs = untilUs))
+              state.setTimeoutTimestamp(math.max(untilUs / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
             }
-            out.result().distinct.iterator
+            Iterator.empty
+          }
+          if (st.exists(_.overCapUntilUs > 0L)) {
+            // still hot: arrivals extend the drain point; emit nothing
+            tombstone((st.get.overCapUntilUs +: incoming.map(_.tsUs + 1L)).max)
+          } else {
+            val prev = st.map(_.docs).getOrElse(Nil).filter(_.tsUs >= wmUs)
+            // cap check BEFORE the pairing loop materializes anything: a
+            // degenerate bucket arriving in one microbatch costs O(n)
+            // state here, never O(n^2) CandPair objects
+            if (prev.size + incoming.size > maxBucket) {
+              tombstone(((prev ++ incoming).map(_.tsUs + 1L) :+ (wmUs + 1L)).max)
+            } else {
+              val out = List.newBuilder[CandPair]
+              var live = prev
+              incoming.foreach { d =>
+                live.foreach { o =>
+                  if (o.id != d.id)
+                    out += (if (o.id < d.id) CandPair(o.id, d.id) else CandPair(d.id, o.id))
+                }
+                live = d :: live
+              }
+              val keep = live.filter(_.tsUs >= wmUs)
+              if (keep.isEmpty) state.remove()
+              else {
+                state.update(BucketState(keep))
+                state.setTimeoutTimestamp(math.max(keep.map(_.tsUs).max / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+              out.result().distinct.iterator
+            }
           }
       }
   }

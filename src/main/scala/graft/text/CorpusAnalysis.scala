@@ -95,7 +95,7 @@ object CorpusAnalysis {
     // groupBy and anti-filtered MAP-SIDE, so a corpus-ubiquitous
     // boilerplate shingle's rows never enter the h exchange — the former
     // window cap scanned them all through one count task first
-    val sh = graft.skew.KeyCaps.dropOverCapKeys(raw, Seq("h"), maxDf)
+    val sh = graft.skew.KeyCaps.dropOverCapKeys(raw, Seq("h"), maxDf, site = "contamination_df")
     sharedWithBench(sh, benchOutOf256)
   }
 
@@ -164,7 +164,7 @@ object CorpusAnalysis {
     // broadcast-hot-set guard as [[contamination]] — map-side-combinable
     // count, map-side anti-filter, no hot-key single-task scan.
     val survivors = raw.where(mightContain(col("h"))).localCheckpoint()
-    val sh = graft.skew.KeyCaps.dropOverCapKeys(survivors, Seq("h"), maxDf)
+    val sh = graft.skew.KeyCaps.dropOverCapKeys(survivors, Seq("h"), maxDf, site = "contamination_bloom_df")
     sharedWithBench(sh, benchOutOf256)
   }
 

@@ -813,4 +813,76 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = graft.mm.Multimodal.extractMeta(media).collect().sortBy(_.media_id)
     assert(meta.map(_.checksum).sameElements(again.map(_.checksum)))
   }
+
+  test("KeyCaps caps report dropped keys/rows through CapMetrics on a 30%-hot fixture") {
+    import spark.implicits._
+    val caps = graft.skew.CapMetrics.register(spark)
+    try {
+      caps.clear()
+      // 1000 rows: key "hot" holds 300 (30%), the rest are singletons
+      val rows = ((0 until 300).map(i => ("hot", i.toLong)) ++
+        (300 until 1000).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+      val guarded = graft.skew.KeyCaps.dropOverCapKeys(rows, Seq("key"), 100L,
+        site = "spec_drop")
+      assert(guarded.count() == 700L) // output unchanged by the observation
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+      assert(caps.snapshot().get("spec_drop").contains((1L, 300L)),
+        s"cap metric must fire: ${caps.snapshot()}")
+      caps.clear()
+      val kept = graft.skew.KeyCaps.keepKeysWithCountAtLeast(rows, Seq("key"), 2L,
+        site = "spec_keep")
+      assert(kept.count() == 300L)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+      assert(caps.snapshot().get("spec_keep").contains((700L, 700L)),
+        s"below-min metric must fire: ${caps.snapshot()}")
+    } finally spark.listenerManager.unregister(caps)
+  }
+
+  test("KeyCaps guards give a NULL key window-count semantics (one more key value)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5 null-keyed rows + a 4-row key + singletons: under the old plain
+    // equi-joins, anti NEVER dropped nulls and semi ALWAYS did — inverted
+    val rows = ((0 until 5).map(i => (Option.empty[String], i.toLong)) ++
+      (5 until 9).map(i => (Some("a"), i.toLong)) ++
+      (9 until 12).map(i => (Some(s"k$i"), i.toLong))).toDF("key", "v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("v").collect().map(_.getLong(0)).toSet
+    for (cap <- Seq(1L, 4L, 5L)) {
+      val guarded = ids(graft.skew.KeyCaps.dropOverCapKeys(rows, Seq("key"), cap))
+      val windowed = ids(rows
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("key")))
+        .where(col("__n") <= cap).drop("__n"))
+      assert(guarded == windowed, s"null-key dropOverCapKeys cap=$cap")
+    }
+    for (min <- Seq(2L, 4L, 5L)) {
+      val guarded = ids(graft.skew.KeyCaps.keepKeysWithCountAtLeast(rows, Seq("key"), min))
+      val windowed = ids(rows
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("key")))
+        .where(col("__n") >= min).drop("__n"))
+      assert(guarded == windowed, s"null-key keepKeysWithCountAtLeast min=$min")
+    }
+  }
+
+  test("topMatchesBlocked unique-key precondition: q41-shaped items satisfy it; duplicates multiply") {
+    import spark.implicits._
+    // the extraction-derived item table the matcher runs on is unique by
+    // its key columns — the documented precondition holds for real inputs
+    val items = Pipeline.extractItems(graft.io.Transcripts.generateDF(spark, 300L))
+      .select("conv_id", "turn_idx", "item_idx", "name")
+    assert(items.count() ==
+      items.select("conv_id", "turn_idx", "item_idx").distinct().count(),
+      "extracted items must be unique by (conv_id, turn_idx, item_idx)")
+    // and the documented failure shape, pinned so the contract stays
+    // visible: two DISTINCT items under one key have their candidate sets
+    // merged by the per-key window (one global rank), and the join-back
+    // then hands every item row the merged ranking — 2 items x 2 ranked
+    // rows = 4 output rows, where the per-item contract would give 2
+    val products = Seq((1L, "S1", "widget"), (2L, "S2", "gadget"))
+      .toDF("product_id", "sku", "name")
+    val dup = Seq((10L, "widget"), (10L, "gadget")).toDF("item_id", "name")
+    val out = graft.matching.Matching.topMatchesBlocked(
+      dup, products, Seq("item_id"), "name", 3, suggest = 70.0)
+    assert(out.count() == 4L, "duplicate keys multiply through the join-back — precondition documented")
+  }
 }

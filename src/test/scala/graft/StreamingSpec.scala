@@ -267,4 +267,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(outDir).count() == batchFps.size.toLong,
       "stream must emit exactly one survivor per fingerprint")
   }
+
+  test("streaming near-dup tombstones an over-cap bucket BEFORE materializing pairs") {
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-scap").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def doc(id: Long, text: String, minutes: Long) =
+      (id, text, new java.sql.Timestamp(t0 + minutes * 60000L))
+    val hotText = (1 to 40).map(i => s"dense$i").mkString(" ")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, ts TIMESTAMP"))
+        .parquet(inDir)
+      graft.streaming.StreamingExtract
+        .streamingNearDup(stream, "doc_id", "text", "ts", horizon = "60 minutes",
+          maxBucket = 5)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.CandPair], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    def gotPairs() =
+      if (!new java.io.File(outDir).exists()) Set.empty[(Long, Long)]
+      else spark.read.parquet(outDir).select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 12 identical docs land in one microbatch at maxBucket=5: the cap
+    // check fires before the pairing loop, so the degenerate bucket emits
+    // ZERO pairs (the old order would have built all 66 pairs first)
+    (1L to 12L).map(i => doc(i, hotText, i)).toDF("doc_id", "text", "ts")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    assert(gotPairs().isEmpty, s"over-cap bucket must emit nothing: ${gotPairs()}")
+    // docs arriving while the bucket is still tombstoned emit nothing either
+    // (the pre-fix reset semantics would have paired 13 with 14 immediately)
+    Seq(doc(13, hotText, 20), doc(14, hotText, 21)).toDF("doc_id", "text", "ts")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    assert(gotPairs().isEmpty, s"tombstoned bucket must stay silent: ${gotPairs()}")
+    // a sentinel advances the watermark far past the drain point...
+    Seq(doc(900, "sentinelalpha sentinelbeta sentinelgamma sentineldelta", 50000L))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    // ...after which the SAME bucket keys pair again (the bucket drained)
+    Seq(doc(21, hotText, 100000L), doc(22, hotText, 100001L))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(inDir)
+    runOnce()
+    assert(gotPairs() == Set((21L, 22L)),
+      s"pairing must resume after the tombstone drains: ${gotPairs()}")
+  }
 }
