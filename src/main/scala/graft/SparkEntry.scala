@@ -779,7 +779,7 @@ object SparkEntry {
 
   private def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Similarity.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      nQueries = 10, topK = 5, k = 16, nProbe = 4, trainCap = 4096L)
+      nQueries = 10, topK = 5, k = 16, nProbe = 4, trainN = 4096)
 
   private def qLshDedup(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.lshDedupClusters(t(spark, dir, "documents"), "doc_id", "text",
@@ -1070,15 +1070,18 @@ object SparkEntry {
        |    list_transform(cl, ct -> {'cos': ${cosSql(vec, "ct.c")}, 'cid': ct.cid})),
        |    (a, b) -> CASE WHEN b.cos > a.cos THEN b ELSE a END).cid""".stripMargin
 
-  /** Shared IVF-training + corpus-assignment CTEs (deterministic sampled
-    * training, seed selection, argmax assignment, id-ordered Lloyd fold)
+  /** Shared IVF-training + corpus-assignment CTEs (deterministic
+    * HASH-SAMPLED training — the trainN lowest rows by md5('ivf:'||id),
+    * matching Similarity.trainIvfCentroids' unbiased sample — seed
+    * selection by hash rank, argmax assignment, id-ordered Lloyd fold)
     * with the same fold orders as graft.ann.Similarity — used by the q30
     * and q56 oracles; ends with `asg` = (id, v, cid). */
-  private def ivfTrainCtes(k: Int, trainCap: Long): String =
+  private def ivfTrainCtes(k: Int, trainN: Int): String =
     s"""v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |tr AS (SELECT * FROM v WHERE id < $trainCap),
+       |trh AS (SELECT id, v FROM v ORDER BY md5('ivf:' || id::VARCHAR), id LIMIT $trainN),
+       |tr AS (SELECT id, v, row_number() OVER (ORDER BY md5('ivf:' || id::VARCHAR), id) - 1 AS rk FROM trh),
        |par AS (SELECT greatest(1, (SELECT count(*) FROM tr) // $k) AS stride),
-       |seeds AS (SELECT id AS cid, v AS c FROM tr, par WHERE id % stride = 0 ORDER BY id LIMIT $k),
+       |seeds AS (SELECT id AS cid, v AS c FROM tr, par WHERE rk % stride = 0 ORDER BY rk LIMIT $k),
        |c1 AS (SELECT list({'cid': cid, 'c': c} ORDER BY cid) AS cl FROM seeds),
        |a1 AS (SELECT tr.id, tr.v, ${ivfArgmaxSql("tr.v")} AS cid FROM tr, c1),
        |grp AS (SELECT cid, list({'id': id, 'v': v} ORDER BY id) AS lst FROM a1 GROUP BY cid),
@@ -1093,8 +1096,8 @@ object SparkEntry {
 
   /** The whole IVF chain — training/assignment CTEs + probe selection +
     * final top-k — bit-identical to graft.ann.Similarity.ivfTopK. */
-  private def ivfSql(k: Int, nProbe: Int, topK: Int, nQueries: Int, trainCap: Long): String = {
-    s"""WITH ${ivfTrainCtes(k, trainCap)},
+  private def ivfSql(k: Int, nProbe: Int, topK: Int, nQueries: Int, trainN: Int): String = {
+    s"""WITH ${ivfTrainCtes(k, trainN)},
        |q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < $nQueries),
        |pr AS (SELECT query_id, qv, unnest(list_transform(
        |    list_sort(list_transform(cl, ct -> {'negcos': 0.0::DOUBLE - (${cosSql("qv", "ct.c")}), 'cid': ct.cid}))[1:$nProbe],
@@ -1110,14 +1113,14 @@ object SparkEntry {
     * comparison within clusters only (graft.ann.Similarity.semDedupPairs). */
   private def qSemDedup(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Similarity.semDedupPairs(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      k = 16, trainCap = 4096L, threshold = 0.3, maxBucket = 10000)
+      k = 16, trainN = 4096, threshold = 0.3, maxBucket = 10000)
 
   /** q56 oracle: the SAME deterministic training/assignment CTEs as q30
     * (bit-identical centroids), then in-cluster pairs above the cosine
     * threshold with the cap mirrored as HAVING count(*) <= maxBucket. */
   private val oSemDedup = {
     val t = 0.3
-    s"""WITH ${ivfTrainCtes(16, 4096L)},
+    s"""WITH ${ivfTrainCtes(16, 4096)},
        |ok AS (SELECT cid FROM asg GROUP BY 1 HAVING count(*) <= 10000),
        |ex AS (SELECT asg.* FROM asg JOIN ok USING (cid)),
        |p AS (SELECT x.id AS id_a, y.id AS id_b, x.cid AS cid,
@@ -1314,7 +1317,7 @@ object SparkEntry {
     "q24_ann_topk" -> oAnnTopK,
     "q25_ann_lsh" -> lshPairsSql(nPlanes = 6, dim = 64, threshold = 0.3, maxBucket = 10000),
     "q26_multimodal_meta" -> oMultimodalMeta,
-    "q30_ann_ivf" -> ivfSql(k = 16, nProbe = 4, topK = 5, nQueries = 10, trainCap = 4096L),
+    "q30_ann_ivf" -> ivfSql(k = 16, nProbe = 4, topK = 5, nQueries = 10, trainN = 4096),
     "q34_lsh_dedup" -> oLshDedup,
     "q35_distinctive_terms" -> oDistinctiveTerms,
     "q36_pii_scrub" -> oPiiScrub,

@@ -16,9 +16,11 @@ import org.apache.spark.sql.expressions.Window
  *    splitmix64 and inlined as literals — resumable, no Random, and
  *    bit-replicable by the SQL oracle);
  *  - IVF (inverted-file) with a faiss-style coarse quantizer: centroids
- *    trained on a deterministic sample, collected to the driver (k x dim
- *    doubles — the standard coarse-quantizer working set), and applied
- *    MAP-SIDE as a literal argmax. Assignment shuffles nothing; only the
+ *    trained distributed on a deterministic hash sample, kept as a k-row
+ *    DataFrame (never collected), and applied MAP-SIDE as a fold argmax
+ *    over a one-row BROADCAST centroid array — k rides in the broadcast
+ *    relation, not the plan, so SemDeDup-scale k (tens of thousands)
+ *    costs nothing in plan size. Assignment shuffles nothing; only the
  *    probe join moves rows, keyed by centroid.
  */
 object Similarity {
@@ -119,63 +121,90 @@ object Similarity {
 
   // ---- IVF -----------------------------------------------------------------
 
-  /** Literal array<struct<cid,c>> from driver-side centroids. */
-  private def centroidsLit(cents: Array[(Long, Array[Double])]): Column =
-    array(cents.map { case (cid, c) =>
-      struct(lit(cid).as("cid"), array(c.map(lit(_)): _*).as("c"))
-    }: _*)
+  /** 1-row DataFrame holding the full centroid table as one cid-ascending
+    * array<struct<cid,c>> column, for BROADCAST into the assignment
+    * folds: the k x dim doubles travel in the broadcast relation, never
+    * in the expression tree. The round-4 design inlined centroids as plan
+    * LITERALS, which (a) capped k at the ~4k the plan could carry — at
+    * 10^12 docs SemDeDup needs k in the tens of thousands (Abbas et al.
+    * 2023 run k ∝ n) so every cluster blew the bucket cap and the output
+    * silently emptied — and (b) made a multi-MB expression evaluated per
+    * row. A broadcast decouples k from plan size entirely; SparkSpec
+    * asserts no data-sized literal remains at k=256. */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("__cl"))
 
-  /** Map-side argmax assignment against literal centroids: all k cosines
-    * are computed in one projection (transform over the literal array),
-    * the best (max cosine, ties -> lowest centroid id) picked by a fold.
-    * ZERO shuffle — the round-1 formulation (crossJoin + per-id window)
-    * shuffled n x k rows to rank what a map-side fold decides. */
-  private def nearestCentroid(vecCol: Column, cents: Array[(Long, Array[Double])]): Column = {
-    val scored = transform(centroidsLit(cents),
+  /** Fold argmax over a centroid-array COLUMN: all k cosines in one
+    * projection, best (max cosine, ties -> lowest cid) picked by a fold
+    * in cid-ascending order — the exact accumulation order the SQL oracle
+    * replicates with list_reduce. */
+  private def nearestCid(vecCol: Column, clCol: Column): Column = {
+    val scored = transform(clCol,
       ct => struct(cosine(vecCol, ct.getField("c")).as("cos"), ct.getField("cid").as("cid")))
     aggregate(scored, struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
       (acc, s) => when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
       .getField("cid")
   }
 
+  /** Map-side centroid assignment: cross-join the ONE-row broadcast
+    * centroid array onto the stream side and fold — a
+    * BroadcastNestedLoopJoin against a single row, so assignment still
+    * shuffles NOTHING and k never touches the plan. */
+  def assignNearest(df: DataFrame, vecCol: String, cents: DataFrame,
+                    outCol: String = "cid"): DataFrame =
+    df.crossJoin(broadcast(centroidArray(cents)))
+      .withColumn(outCol, nearestCid(col(vecCol), col("__cl")))
+      .drop("__cl")
+
   /**
-   * Deterministic coarse quantizer, faiss-style: train on a bounded
-   * deterministic sample (the lowest `trainCap` ids — at 10^12 rows you
-   * never train a coarse quantizer on the full corpus), seed centroids =
-   * every stride-th sample vector by id, one Lloyd refinement = per-
-   * centroid mean of assigned sample vectors SUMMED IN ID ORDER (sorted
-   * collect_list fold) so the result is bit-deterministic and exactly
-   * replicable by the SQL oracle. Returns driver-side centroids
-   * (k x dim doubles — the standard coarse-quantizer working set; the two
-   * driver actions here are a count and a k-row collect, not corpus data).
+   * Deterministic coarse quantizer, faiss-style, fully distributed: train
+   * on a HASH-SAMPLED bounded subset (the `trainN` lowest rows by
+   * md5('ivf:'||id) — an unbiased deterministic sample, unlike an
+   * id-prefix which inherits whatever the low ids correlate with), seed
+   * centroids = every stride-th sample vector in hash-rank order, one
+   * Lloyd refinement = per-centroid mean of assigned sample vectors
+   * SUMMED IN ID ORDER (sorted collect_list fold) so the result is
+   * bit-deterministic and exactly replicable by the SQL oracle.
+   *
+   * Returns the k-row (cid, c) centroid DataFrame, localCheckpoint'ed:
+   * it is the quantizer table every consumer (assignment, probes) reads
+   * — the artifact faiss would persist — and materializing it once keeps
+   * the training chain out of every downstream plan. Nothing is ever
+   * collected to the driver, so k is bounded by what a broadcast carries
+   * (tens of MB = k in the hundreds of thousands), not by plan size or
+   * driver memory. Scale shape of the sample itself: TakeOrderedAndProject
+   * (top-trainN by hash — a per-partition top-N + driver merge, never a
+   * global sort), then a single-task window over <= trainN rows for ranks.
+   *
+   * A seed centroid that attracts no sample vectors in the Lloyd step is
+   * dropped (its group never forms), so the effective k can shrink — the
+   * standard coarse-quantizer behavior; probes adapt to what remains.
    */
   def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                        k: Int, trainCap: Long = 4096L): Array[(Long, Array[Double])] = {
-    val train = emb.where(col(idCol) < trainCap)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-    val n = train.count()
+                        k: Int, trainN: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("__h", md5(concat(lit("ivf:"), col("id").cast("string"))))
+    val tr = hashed.orderBy(col("__h"), col("id")).limit(trainN)
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__h"), col("id"))) - 1)
+      .localCheckpoint() // bounded (<= trainN rows); feeds count + seeds + Lloyd
+    val n = tr.count()
+    require(n > 0, "trainIvfCentroids: empty corpus — nothing to train on")
     val stride = math.max(1L, n / k)
-    val seeds = train.where(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").limit(k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(seeds.nonEmpty,
-      s"trainIvfCentroids: no training rows with $idCol < $trainCap — the id space " +
-        "must start below trainCap (empty corpus, or ids offset past the cap)")
-    // a seed centroid that attracts no sample vectors in the Lloyd step is
-    // dropped (its group never forms), so the effective k can shrink — the
-    // standard coarse-quantizer behavior; probes adapt to the centroids
-    // that remain
-    val dim = seeds.head._2.length
+    val seeds = tr.where(pmod(col("__rk"), lit(stride)) === 0)
+      .orderBy("__rk").limit(k)
+      .select(col("id").as("cid"), col("v").as("c"))
     // one Lloyd step over the sample: mean of assigned vectors, id-ordered fold
-    val assigned = train.withColumn("cid", nearestCentroid(col("v"), seeds))
-    val zero = array_repeat(lit(0.0), dim)
-    val refined = assigned.groupBy("cid")
+    val assigned = assignNearest(tr, "v", seeds)
+    assigned.groupBy("cid")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"))
       .select(col("cid"), transform(
-        aggregate(col("lst"), zero, (acc, s) => zip_with(acc, s.getField("v"), _ + _)),
+        aggregate(col("lst"),
+          array_repeat(lit(0.0), size(element_at(col("lst"), 1).getField("v"))),
+          (acc, s) => zip_with(acc, s.getField("v"), _ + _)),
         x => x / size(col("lst")).cast("double")).as("c"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    refined.sortBy(_._1)
+      .localCheckpoint()
   }
 
   /**
@@ -189,23 +218,27 @@ object Similarity {
    * independent in-cluster comparisons. Cross-cluster near-dups are
    * missed by construction (the paper's accepted approximation).
    *
-   * Scale shape: assignment is a map-side literal-centroid argmax (zero
-   * shuffle); the assigned working set is localCheckpoint'ed once (it
+   * Scale shape: assignment is a map-side broadcast-centroid argmax
+   * (zero shuffle, k decoupled from plan size — see [[centroidArray]];
+   * at the paper's k ∝ n, tens of thousands of clusters ride in one
+   * broadcast); the assigned working set is localCheckpoint'ed once (it
    * feeds the cap count and both self-join sides — same justification as
    * [[lshNearPairs]]); a degenerate dense cluster is excluded by the
    * KeyCaps broadcast anti-join (<= k over-cap keys — trivially bounded)
-   * instead of exploding quadratically. A pair lands in exactly one
-   * cluster, so no cross-band distinct is needed. Composable with
-   * graft.dedup.Dedup.dedupClusters / clusterRepresentatives for
-   * keeper selection.
+   * instead of exploding quadratically, and the drop is OBSERVABLE
+   * (CapMetrics site "semdedup_clusters" — with k sized to n, mean
+   * cluster size is n/k and a blanket cap-empty output cannot happen
+   * silently). A pair lands in exactly one cluster, so no cross-band
+   * distinct is needed. Composable with graft.dedup.Dedup.dedupClusters /
+   * clusterRepresentatives for keeper selection.
    */
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 16, trainCap: Long = 4096L,
+                    k: Int = 16, trainN: Int = 4096,
                     threshold: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
-    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainCap)
-    val assigned = emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cid", nearestCentroid(col("v"), cents))
+    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainN)
+    val assigned = assignNearest(
+      emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", cents)
       .localCheckpoint()
     val capped = graft.skew.KeyCaps.dropOverCapKeys(assigned, Seq("cid"), maxBucket, site = "semdedup_clusters")
     val a = capped.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
@@ -216,24 +249,27 @@ object Similarity {
       .select("id_a", "id_b", "cid", "cosine")
   }
 
-  /** IVF search: assign corpus map-side, probe the nProbe nearest
-    * centroids per query (picked map-side by sorting the literal centroid
-    * scores — no window), join candidates on the centroid key, salted
-    * two-level per-query top-k. */
+  /** IVF search: assign corpus map-side (broadcast-centroid argmax),
+    * probe the nProbe nearest centroids per query (picked map-side by
+    * sorting the per-row centroid scores — no window), join candidates on
+    * the centroid key, salted two-level per-query top-k. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nQueries: Int, topK: Int, k: Int = 16, nProbe: Int = 4,
-              trainCap: Long = 4096L): DataFrame = {
-    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainCap)
-    val assignments = emb
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("centroid_id", nearestCentroid(col("v"), cents))
+              trainN: Int = 4096): DataFrame = {
+    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainN)
+    val assignments = assignNearest(
+      emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", cents,
+      outCol = "centroid_id")
     // per-query probe list: sort struct(-cos, cid) ascending = cos desc,
-    // ties -> lowest cid; slice the first nProbe — all map-side
-    val probeScores = transform(centroidsLit(cents),
+    // ties -> lowest cid; slice the first nProbe — all map-side over the
+    // broadcast centroid array
+    val probeScores = transform(col("__cl"),
       ct => struct((lit(0.0) - cosine(col("q_v"), ct.getField("c"))).as("negcos"),
         ct.getField("cid").as("cid")))
     val probes = emb.where(col(idCol) < nQueries)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("q_v"))
+      .crossJoin(broadcast(centroidArray(cents)))
       .select(col("query_id"), col("q_v"),
         explode(transform(slice(array_sort(probeScores), 1, nProbe),
           s => s.getField("cid"))).as("centroid_id"))

@@ -814,6 +814,41 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.map(_.checksum).sameElements(again.map(_.checksum)))
   }
 
+  test("SemDeDup at k=256 equals brute force within clusters; no data-sized plan literal") {
+    import spark.implicits._
+    // 500 embeddings, k=256: the round-4 literal-centroid design capped k
+    // structurally (plan-size); the broadcast-centroid path must carry
+    // k=256 with a constant-size plan and stay exact within clusters
+    val vecs = (0L until 500L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = graft.ann.Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 256)
+    assert(cents.count() >= 200L, "most of the 256 seeds must survive the Lloyd step")
+    val asg = graft.ann.Similarity.assignNearest(
+      vecs.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v")), "v", cents)
+      .select("id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = graft.dedup.Dedup.embeddingNearDup(
+      vecs, "vec_id", "embedding", maxId = 500L, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = brute.filter { case (a, b) => asg(a) == asg(b) }
+    val pairs = graft.ann.Similarity.semDedupPairs(
+      vecs, "vec_id", "embedding", k = 256, threshold = 0.3)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"within-cluster pairs must equal brute force restricted " +
+      s"to co-clustered ids: extra=${got -- expected} missing=${expected -- got}")
+    assert(expected.nonEmpty && expected != brute,
+      "fixture must exercise real clustering (some cross-cluster pairs excluded)")
+    // the k x dim doubles must ride in the broadcast relation, never the
+    // expression tree: no literal in the plan may be data-sized
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val maxLit = pairs.queryExecution.optimizedPlan
+      .collect { case p => p.expressions.flatMap(_.collect { case l: Literal => l }) }
+      .flatten.map(_.toString.length).maxOption.getOrElse(0)
+    assert(maxLit < 1000, s"data-sized literal leaked into the plan (len=$maxLit)")
+  }
+
   test("KeyCaps caps report dropped keys/rows through CapMetrics on a 30%-hot fixture") {
     import spark.implicits._
     val caps = graft.skew.CapMetrics.register(spark)
