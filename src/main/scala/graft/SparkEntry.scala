@@ -1230,6 +1230,121 @@ object SparkEntry {
        |SELECT cluster_id, n_members, doc_id AS keeper_id, n_chars AS keeper_score
        |FROM sel WHERE rn = 1""".stripMargin
 
+  /** q57: the composed end-to-end training-data chain — corpus filter ->
+    * LSH near-dup clusters -> keep-best representatives -> stratified
+    * sample -> sequence packing, as ONE query (graft.text.CorpusChain).
+    * Parameters mirror q44/q52/q45/q46 so the oracle composes their
+    * already-verified SQL pieces. */
+  private def qCorpusChain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusChain.corpusChain(
+      t(spark, dir, "documents"), "doc_id", "text", "lang", "n_chars",
+      lang = "en", rates = Map("en" -> 32, "de" -> 192), defaultOutOf256 = 64,
+      packTokens = 512, nShards = 8)
+
+  /** q57 oracle: the same chain composed from the verified q44 filter
+    * CTEs, the exhaustive all-pairs cluster CTEs (NOT the LSH path — so
+    * green also re-proves the banded chain inside the composition), the
+    * q52 keep-best window, the q45 md5 gate, and the q46 packing. */
+  private val oCorpusChain =
+    """WITH RECURSIVE fq AS (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_words,
+      |    len(replace(trim(text), ' ', ''))::DOUBLE /
+      |      len(string_split_regex(trim(text), '\s+'))::DOUBLE AS avg_word_len
+      |  FROM documents),
+      |fl AS (SELECT doc_id,
+      |  (contains(' '||lower(text)||' ',' the ')::INT + contains(' '||lower(text)||' ',' of ')::INT
+      |    + contains(' '||lower(text)||' ',' and ')::INT) AS hits_en,
+      |  (contains(' '||lower(text)||' ',' der ')::INT + contains(' '||lower(text)||' ',' und ')::INT
+      |    + contains(' '||lower(text)||' ',' die ')::INT) AS hits_de,
+      |  (contains(' '||lower(text)||' ',' le ')::INT + contains(' '||lower(text)||' ',' la ')::INT
+      |    + contains(' '||lower(text)||' ',' et ')::INT) AS hits_fr,
+      |  (contains(' '||lower(text)||' ',' el ')::INT + contains(' '||lower(text)||' ',' los ')::INT
+      |    + contains(' '||lower(text)||' ',' y ')::INT) AS hits_es
+      | FROM documents),
+      |flang AS (SELECT doc_id,
+      |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+      |       WHEN hits_de >= hits_fr AND hits_de >= hits_es AND hits_de > 0 THEN 'de'
+      |       WHEN hits_fr >= hits_es AND hits_fr > 0 THEN 'fr'
+      |       WHEN hits_es > 0 THEN 'es'
+      |       ELSE 'und' END AS pred_lang
+      |  FROM fl),
+      |ftk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |ftw AS (SELECT doc_id, max(c) AS twc FROM (
+      |    SELECT doc_id, count(*) AS c FROM (SELECT doc_id, unnest(tk) AS w FROM ftk)
+      |    GROUP BY doc_id, w) GROUP BY doc_id),
+      |frep AS (SELECT ftk.doc_id,
+      |    CASE WHEN len(tk) > 0 THEN coalesce(twc, 0) / len(tk)::DOUBLE ELSE 0.0 END AS top_frac,
+      |    CASE WHEN len(tk) >= 2 THEN
+      |      (len([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) -
+      |       len(list_distinct([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]))) /
+      |      len([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])::DOUBLE
+      |      ELSE 0.0 END AS dup_frac
+      |  FROM ftk LEFT JOIN ftw ON ftk.doc_id = ftw.doc_id),
+      |fdd AS (SELECT doc_id, row_number() OVER (
+      |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |surv AS (SELECT d.doc_id, d.text, d.lang, d.n_chars
+      |  FROM documents d
+      |  JOIN fq ON d.doc_id = fq.doc_id JOIN flang ON d.doc_id = flang.doc_id
+      |  JOIN frep ON d.doc_id = frep.doc_id JOIN fdd ON d.doc_id = fdd.doc_id
+      |  WHERE n_words >= 20 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+      |    AND pred_lang = 'en' AND NOT (top_frac > 0.2 OR dup_frac > 0.2) AND rn = 1),
+      |toks AS (SELECT doc_id AS id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM surv),
+      |sh AS (SELECT id, list_distinct([array_to_string(tk[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)]) AS s
+      |  FROM toks WHERE len(tk) >= 3),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a, sh b WHERE a.id < b.id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE > 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |clusters AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+      |sel AS (SELECT c.cluster_id, c.doc_id, row_number() OVER (
+      |    PARTITION BY c.cluster_id ORDER BY s.n_chars DESC, c.doc_id) AS rn
+      |  FROM clusters c JOIN surv s ON c.doc_id = s.doc_id),
+      |dedup AS (SELECT * FROM surv
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM sel WHERE rn > 1)),
+      |samp AS (SELECT * FROM dedup
+      |  WHERE substr(md5(doc_id::VARCHAR), 1, 2) <
+      |    (CASE WHEN lang = 'de' THEN 'c0' WHEN lang = 'en' THEN '20' ELSE '40' END)),
+      |pt AS (SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+      |  FROM samp),
+      |po AS (SELECT doc_id, shard, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)::BIGINT AS tok_start
+      |  FROM pt)
+      |SELECT shard, pack_id, doc_id,
+      |  greatest(tok_start, pack_id*512) - tok_start AS seg_start_in_doc,
+      |  least(tok_start + n_tokens, (pack_id+1)*512) - greatest(tok_start, pack_id*512) AS seg_len
+      |FROM po, unnest(generate_series(tok_start//512, (tok_start + n_tokens - 1)//512)) AS u(pack_id)""".stripMargin
+
+  /** q58: incremental dedup — the indexed half of the corpus (even ids)
+    * is folded with the odd-id batch WITHOUT re-signing it
+    * (graft.dedup.Dedup.mergeDedupIndex); the interleaved split
+    * exercises keeper drift (odd min-ids taking over even-keeper
+    * families). The oracle is IDENTICAL to q34's full-corpus exhaustive
+    * all-pairs clustering — green means the incremental path reproduces
+    * the from-scratch result exactly. */
+  private def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val old = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 =!= 0)
+    val idx = graft.dedup.Dedup.buildDedupIndex(old, "doc_id", "text")
+    graft.dedup.Dedup.incrementalDedupClusters(idx, docs, fresh, "doc_id", "text")._1
+  }
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1288,7 +1403,9 @@ object SparkEntry {
     "q53_lexical_commonness" -> (qLexicalCommonness _),
     "q54_vocab_topk" -> (qVocabTopK _),
     "q55_source_mix" -> (qSourceMix _),
-    "q56_semdedup_pairs" -> (qSemDedup _))
+    "q56_semdedup_pairs" -> (qSemDedup _),
+    "q57_corpus_chain" -> (qCorpusChain _),
+    "q58_incremental_dedup" -> (qIncrementalDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1346,7 +1463,9 @@ object SparkEntry {
     "q53_lexical_commonness" -> oLexicalCommonness,
     "q54_vocab_topk" -> oVocabTopK,
     "q55_source_mix" -> oSourceMix,
-    "q56_semdedup_pairs" -> oSemDedup)
+    "q56_semdedup_pairs" -> oSemDedup,
+    "q57_corpus_chain" -> oCorpusChain,
+    "q58_incremental_dedup" -> oLshDedup)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -302,8 +302,38 @@ object Dedup {
   def lshDedupClusters(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                        threshold: Double = 0.5): DataFrame = {
-    val fam = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val index = buildDedupIndex(df, idCol, textCol, k, bands, rowsPerBand, threshold)
+    clustersFromIndex(index, fam(df, idCol, textCol))
+  }
+
+  /**
+   * The materialized artifacts of one [[lshDedupClusters]] epoch, all
+   * keyed by the FAMILY HASH `__fh` (md5 of whitespace/case-normalized
+   * text) rather than by the keeper doc id — the key that stays stable
+   * when a later batch contributes a smaller-id member to an existing
+   * family (the keeper changes; the family hash, the family's token
+   * stream, and therefore its signature and every verified pair do not).
+   * This is what makes [[mergeDedupIndex]] exact: stored pairs never
+   * name a keeper that a merge could invalidate.
+   *
+   * All three tables are localCheckpoint'ed, bounded, and are precisely
+   * what a production incremental-dedup pipeline persists between
+   * epochs: the exact-dedup family table (one row per distinct text),
+   * the per-family MinHash signatures (32 longs per distinct text), and
+   * the verified near-dup pair set (threshold-bounded).
+   */
+  final case class DedupIndex(famAgg: DataFrame, sigs: DataFrame, verified: DataFrame,
+                              k: Int, bands: Int, rowsPerBand: Int, threshold: Double)
+
+  /** (doc_id, __text, __fh) projection — the family-membership map. */
+  private def fam(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__fh", md5(lower(trim(regexp_replace(col("__text"), "\\s+", " ")))))
+
+  /** Build a fresh [[DedupIndex]] from a corpus (one full epoch). */
+  def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+                      threshold: Double = 0.5): DedupIndex = {
     // one keeper row per family via a combinable min-struct aggregate
     // (doc_id leads the struct, so min == the min-id member's row): a
     // billion-copy family collapses to ONE row per map partition before
@@ -314,19 +344,21 @@ object Dedup {
     // (candidate semi-join + two verify joins) and the expansion once, so
     // without truncation each consumer would re-run the corpus scan and
     // the collapse shuffle.
-    val famAgg = fam.groupBy("__fh").agg(
+    val famAgg = fam(df, idCol, textCol).groupBy("__fh").agg(
         min(struct(col("doc_id"), col("__text"))).as("__rep"),
         count(lit(1)).as("__n"))
       .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
         col("__rep.__text").as("__text"), col("__n"))
       .localCheckpoint()
-    val reps = famAgg.select(col("__keeper").as("doc_id"), col("__text"))
-    // rep signatures, materialized once: bounded by (and far smaller than)
-    // the family table above — 32 longs per distinct text vs its full
-    // text. The bucket-cap guard reads its input twice (count + filter);
-    // off this checkpoint both passes are a band-slice/md5, not a second
-    // shingle+signature fold over every rep.
-    val sigs = minhashSignatures(reps, "doc_id", "__text", k, bands * rowsPerBand)
+    // family signatures, materialized once and keyed by __fh: bounded by
+    // (and far smaller than) the family table above — 32 longs per
+    // distinct text vs its full text. Signing the REP's raw text is
+    // family-invariant: members differ only in case/whitespace, which
+    // tokens() normalizes away. The bucket-cap guard reads its input
+    // twice (count + filter); off this checkpoint both passes are a
+    // band-slice/md5, not a second shingle+signature fold over every rep.
+    val sigs = minhashSignatures(
+        famAgg.select(col("__fh"), col("__text")), "__fh", "__text", k, bands * rowsPerBand)
       .localCheckpoint()
     // The pair tables are the chain's SMALL invariants (bounded by the
     // banding caps / verification threshold, orders below corpus size).
@@ -334,24 +366,125 @@ object Dedup {
     // inside jaccardVerify and verified feeds nodes+edges in dedupClusters
     // — without truncation every reuse re-executes the corpus-wide
     // signature pass (measured 6s -> ~3s at sf0.1 from this alone).
-    val cands = candidatesFromSigs(sigs, "doc_id", bands, rowsPerBand, 10000,
+    val cands = candidatesFromSigs(sigs, "__fh", bands, rowsPerBand, 10000,
         site = "lsh_chain_buckets")
       .localCheckpoint()
-    val verified = jaccardVerify(reps, cands, "doc_id", "__text", k, threshold)
+    val verified = jaccardVerify(famAgg.select(col("__fh"), col("__text")),
+        cands, "__fh", "__text", k, threshold)
       .select("id_a", "id_b").localCheckpoint()
-    val repClusters = dedupClusters(verified)
+    DedupIndex(famAgg, sigs, verified, k, bands, rowsPerBand, threshold)
+  }
+
+  /** Clusters from an index + the family-membership map of the SAME
+    * corpus: map verified fh-pairs to their current keepers, run
+    * connected components over keeper ids, re-expand families. */
+  private def clustersFromIndex(index: DedupIndex, famMap: DataFrame): DataFrame = {
+    val keeperOf = index.famAgg.select(col("__fh"), col("__keeper"))
+    val verifiedIds = index.verified
+      .join(keeperOf.select(col("__fh").as("id_a"), col("__keeper").as("__ka")), Seq("id_a"))
+      .join(keeperOf.select(col("__fh").as("id_b"), col("__keeper").as("__kb")), Seq("id_b"))
+      .select(col("__ka").as("id_a"), col("__kb").as("id_b"))
+    val repClusters = dedupClusters(verifiedIds)
       .withColumnRenamed("doc_id", "__keeper").withColumnRenamed("cluster_id", "__clu")
     // families in the output: keeper clustered at rep level, OR a
     // multi-member family whose pairwise jaccard (1.0, when >= k tokens)
     // clears the threshold — its own cluster labeled by the keeper
-    val famOut = famAgg.join(repClusters, Seq("__keeper"), "left")
+    val famOut = index.famAgg.join(repClusters, Seq("__keeper"), "left")
       .withColumn("__cluster", coalesce(col("__clu"),
-        when(col("__n") >= 2 && lit(1.0) > threshold &&
-          size(tokens(col("__text"))) >= k, col("__keeper"))))
+        when(col("__n") >= 2 && lit(1.0) > index.threshold &&
+          size(tokens(col("__text"))) >= index.k, col("__keeper"))))
       .where(col("__cluster").isNotNull)
       .select("__fh", "__cluster")
-    fam.select("doc_id", "__fh").join(famOut, Seq("__fh"))
+    famMap.select("doc_id", "__fh").join(famOut, Seq("__fh"))
       .select(col("doc_id"), col("__cluster").as("cluster_id"))
+  }
+
+  /**
+   * Incremental dedup: fold a NEW batch into an existing [[DedupIndex]]
+   * WITHOUT re-signing the indexed corpus — the production shape for a
+   * growing corpus, where each epoch's signatures and verified pairs are
+   * persisted and only the delta is computed:
+   *
+   *  - the family tables merge by re-aggregating the (associative)
+   *    min-struct/count — an old family gaining a smaller-id member gets
+   *    its keeper updated, its signature untouched (family-invariant);
+   *  - only families NEVER SEEN BEFORE are signed (anti-join on __fh);
+   *  - candidate generation bands old + new signatures together but
+   *    emits only pairs with >= 1 new-family member — old/old pairs are
+   *    already in the index, and the two sets are disjoint, so their
+   *    union is exactly a full run's candidate set;
+   *  - only the new candidate pairs are Jaccard-verified.
+   *
+   * With that, clusters over the merged index EQUAL a from-scratch
+   * [[lshDedupClusters]] over the union (SparkSpec differential), with
+   * ONE documented divergence: the bucket cap is evaluated per epoch, so
+   * a bucket that crosses `maxBucket` only across epochs keeps the pairs
+   * the earlier epoch already emitted (a from-scratch run would drop the
+   * whole bucket). Per-epoch cap semantics are the production behavior —
+   * emitted pairs are not retracted.
+   */
+  def mergeDedupIndex(index: DedupIndex, newDocs: DataFrame,
+                      idCol: String, textCol: String): DedupIndex = {
+    val k = index.k; val bands = index.bands; val rowsPerBand = index.rowsPerBand
+    val newFamAgg = fam(newDocs, idCol, textCol).groupBy("__fh").agg(
+        min(struct(col("doc_id"), col("__text"))).as("__rep"),
+        count(lit(1)).as("__n"))
+      .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
+        col("__rep.__text").as("__text"), col("__n"))
+    // associative re-aggregation == full-run famAgg over the union
+    val mergedFamAgg = index.famAgg.unionByName(newFamAgg)
+      .groupBy("__fh").agg(
+        min(struct(col("__keeper").as("doc_id"), col("__text"))).as("__rep"),
+        sum(col("__n")).as("__n"))
+      .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
+        col("__rep.__text").as("__text"), col("__n"))
+      .localCheckpoint()
+    // sign ONLY never-before-seen families — the old corpus is not re-read
+    val freshFams = newFamAgg.join(index.sigs.select("__fh"), Seq("__fh"), "left_anti")
+    val freshSigs = minhashSignatures(
+      freshFams.select(col("__fh"), col("__text")), "__fh", "__text", k, bands * rowsPerBand)
+    val sigsAll = index.sigs.unionByName(freshSigs).localCheckpoint()
+    val bandedAll = sigsAll
+      .join(freshSigs.select(col("__fh"), lit(true).as("__new")), Seq("__fh"), "left")
+      .select(col("__fh").as("id"), coalesce(col("__new"), lit(false)).as("is_new"),
+        posexplode(minhashBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val newCands = pairsWithinBucketsNewOnly(bandedAll, 10000, "incr_lsh_buckets")
+      .localCheckpoint()
+    val newVerified = jaccardVerify(mergedFamAgg.select(col("__fh"), col("__text")),
+        newCands, "__fh", "__text", k, index.threshold)
+      .select("id_a", "id_b")
+    val verifiedAll = index.verified.unionByName(newVerified).localCheckpoint()
+    DedupIndex(mergedFamAgg, sigsAll, verifiedAll, k, bands, rowsPerBand, index.threshold)
+  }
+
+  /** [[lshDedupClusters]] over (indexed corpus + new batch) via
+    * [[mergeDedupIndex]] — returns the merged index alongside the
+    * cluster labels so the next epoch can fold onto it. */
+  def incrementalDedupClusters(index: DedupIndex, allDocs: DataFrame, newDocs: DataFrame,
+                               idCol: String, textCol: String): (DataFrame, DedupIndex) = {
+    val merged = mergeDedupIndex(index, newDocs, idCol, textCol)
+    (clustersFromIndex(merged, fam(allDocs, idCol, textCol)), merged)
+  }
+
+  /** In-bucket pairs where AT LEAST ONE side is a new-epoch family: same
+    * single-shuffle group-and-emit as [[pairsWithinBuckets]], with the
+    * is_new flag carried through the sorted id list and old/old pairs
+    * skipped at emission (they are already in the index). */
+  private def pairsWithinBucketsNewOnly(banded: DataFrame, maxBucket: Int,
+                                        site: String): DataFrame = {
+    val grouped = graft.skew.KeyCaps
+      .dropOverCapKeys(banded, Seq("band", "bucket"), maxBucket, site = site)
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("is_new")))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
+        filter(
+          transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+            y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+              (x.getField("is_new") || y.getField("is_new")).as("any_new"))),
+          p => p.getField("any_new"))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
   }
 
   /**

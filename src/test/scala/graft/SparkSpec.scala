@@ -814,6 +814,65 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.map(_.checksum).sameElements(again.map(_.checksum)))
   }
 
+  test("corpus chain: no stage re-runs an upstream corpus pass (lineage cut at checkpoints)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = graft.text.CorpusChain.corpusChain(
+      docs, "doc_id", "text", "lang", "n_chars",
+      lang = "en", rates = Map("en" -> 32, "de" -> 192), defaultOutOf256 = 64,
+      packTokens = 512, nShards = 8)
+    assert(packed.count() > 0)
+    // every corpus pass (filter scan, signature fold, cluster labels) was
+    // materialized exactly once behind a localCheckpoint: the FINAL plan
+    // must contain zero parquet scans — if any stage's lineage re-ran the
+    // corpus, a FileScan would reappear here
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.toLowerCase.contains("scan parquet"),
+      s"corpus re-scan leaked into the chain plan:\n${plan.take(2000)}")
+  }
+
+  test("incremental dedup: batch-split merge equals from-scratch clusters on the union") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = labels(graft.dedup.Dedup.lshDedupClusters(docs, "doc_id", "text"))
+    val old = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    val idx = graft.dedup.Dedup.buildDedupIndex(old, "doc_id", "text")
+    val (incr, merged) = graft.dedup.Dedup.incrementalDedupClusters(
+      idx, docs, fresh, "doc_id", "text")
+    assert(labels(incr) == full,
+      "incremental merge must reproduce the from-scratch clusters exactly")
+    // second epoch folds onto the merged index: splitting the new batch
+    // again must still equal the from-scratch result
+    val idx2 = graft.dedup.Dedup.buildDedupIndex(docs.where(col("doc_id") < 150),
+      "doc_id", "text")
+    val (_, m1) = graft.dedup.Dedup.incrementalDedupClusters(idx2,
+      docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 150 && col("doc_id") < 250),
+      "doc_id", "text")
+    val (incr2, _) = graft.dedup.Dedup.incrementalDedupClusters(m1, docs, fresh,
+      "doc_id", "text")
+    assert(labels(incr2) == full, "two-epoch fold must equal from-scratch")
+    // keeper drift: a NEW doc with a smaller id than an old family's
+    // keeper must relabel the family without re-signing it
+    import spark.implicits._
+    val t1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 27).map(i => s"alpha$i").mkString(" ") + " beta1 beta2 beta3"
+    val oldB = Seq((100L, t1), (101L, "  " + t1.toUpperCase + "  "), (200L, t2))
+      .toDF("doc_id", "text")
+    val newB = Seq((5L, t1)).toDF("doc_id", "text") // joins 100's family, takes over as keeper
+    val unionB = oldB.unionByName(newB)
+    val fullB = labels(graft.dedup.Dedup.lshDedupClusters(unionB, "doc_id", "text"))
+    val (incrB, mB) = graft.dedup.Dedup.incrementalDedupClusters(
+      graft.dedup.Dedup.buildDedupIndex(oldB, "doc_id", "text"),
+      unionB, newB, "doc_id", "text")
+    assert(labels(incrB) == fullB && fullB.forall(_._2 == 5L),
+      s"keeper drift must relabel to the new min id: ${labels(incrB)} vs $fullB")
+    // the merged index signed NOTHING new (doc 5's family hash was indexed)
+    assert(mB.sigs.count() == graft.dedup.Dedup
+      .buildDedupIndex(oldB, "doc_id", "text").sigs.count())
+  }
+
   test("SemDeDup at k=256 equals brute force within clusters; no data-sized plan literal") {
     import spark.implicits._
     // 500 embeddings, k=256: the round-4 literal-centroid design capped k
