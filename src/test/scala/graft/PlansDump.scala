@@ -192,7 +192,10 @@ object PlansDump {
       "map-side-combinable groupBy count (partial_count before the h " +
       "Exchange) applied as a left-semi join (both kept and dropped gram " +
       "sets are unbounded, so no broadcast — but AQE can skew-split the " +
-      "semi-join, unlike the former h-keyed window count). Survivors flow " +
+      "semi-join, unlike the former h-keyed window count; SparkSpec's " +
+      "executed-plan check asserts skew=true actually appears on a " +
+      "degenerate-gram fixture with production-shaped thresholds). " +
+      "Survivors flow " +
       "into doc-keyed windows that merge overlapping spans — never a pair " +
       "join, so corpus-common grams cannot explode anything.") {
       SparkEntry.queries("q51_dup_spans")(spark, dir).explain("formatted")
@@ -211,14 +214,41 @@ object PlansDump {
       "nothing skews, the corpus is scanned once.") {
       SparkEntry.queries("q55_source_mix")(spark, dir).explain("formatted")
     }
-    section("q56 SemDeDup pairs (map-side cluster assignment, capped in-cluster join)",
-      "Embeddings assign to their nearest coarse-quantizer centroid in a " +
-      "pure Projection over literal centroids (zero assignment shuffle), " +
-      "the assigned set materializes once, over-dense clusters anti-filter " +
-      "via BroadcastHashJoin LeftAnti, and cosine comparison happens only " +
-      "inside clusters — the O(n^2) semantic dedup becomes k independent " +
-      "bounded self-joins.") {
+    section("q56 SemDeDup pairs (broadcast-centroid assignment, capped in-cluster join)",
+      "Embeddings assign to their nearest coarse-quantizer centroid by a " +
+      "fold over a ONE-row broadcast centroid array (BroadcastNestedLoopJoin " +
+      "against a single row — zero assignment shuffle, and k lives in the " +
+      "broadcast relation, not the plan, so SemDeDup-scale k in the tens of " +
+      "thousands costs nothing in plan size; SparkSpec asserts no data-sized " +
+      "literal at k=256), the assigned set materializes once, over-dense " +
+      "clusters anti-filter via BroadcastHashJoin LeftAnti (observable: " +
+      "CapMetrics site semdedup_clusters), and cosine comparison happens " +
+      "only inside clusters — the O(n^2) semantic dedup becomes k " +
+      "independent bounded self-joins.") {
       SparkEntry.queries("q56_semdedup_pairs")(spark, dir).explain("formatted")
+    }
+    section("q57 composed corpus chain (filter -> dedup -> keep-best -> sample -> pack, no recompute)",
+      "The production chain as ONE query. The filtered corpus and the " +
+      "cluster labels are localCheckpoint'ed exactly once, so the FINAL " +
+      "plan below starts from checkpointed RDDs and contains ZERO parquet " +
+      "scans — no stage re-runs an upstream corpus pass (SparkSpec asserts " +
+      "this on the executed plan). Representative selection reuses the " +
+      "cluster labels with a combinable min-struct argmax instead of " +
+      "re-running the LSH chain; the loser anti-join keys on the unique " +
+      "doc id (skew-free, no broadcast — duplicates can be a large " +
+      "fraction of a real corpus).") {
+      SparkEntry.queries("q57_corpus_chain")(spark, dir).explain("formatted")
+    }
+    section("q58 incremental dedup (fold a new batch into a persisted index — old corpus never re-signed)",
+      "The even-id half plays the persisted index (family table + " +
+      "fh-keyed signatures + verified pairs, each localCheckpoint'ed); " +
+      "the odd-id batch merges by re-aggregating the associative family " +
+      "min-struct, signing ONLY never-seen families (anti-join on __fh), " +
+      "banding old+new signatures together but emitting only pairs with " +
+      ">= 1 new family, and verifying only those. The plan below reads " +
+      "the old signatures from a checkpointed RDD — no shingle/signature " +
+      "fold over the indexed corpus appears anywhere.") {
+      SparkEntry.queries("q58_incremental_dedup")(spark, dir).explain("formatted")
     }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +

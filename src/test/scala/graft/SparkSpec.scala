@@ -814,6 +814,39 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.map(_.checksum).sameElements(again.map(_.checksum)))
   }
 
+  test("AQE skew-splits the keepKeysWithCountAtLeast semi-join on a degenerate gram key") {
+    import spark.implicits._
+    // the q51 scale argument rests on AQE splitting a skewed sort-merge
+    // semi-join (a boilerplate gram's positions all land on one key);
+    // assert the optimization actually FIRES on such a shape. Thresholds
+    // are lowered so the toy fixture triggers what a 100 TB run would.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 64
+      val rows = ((0 until 60000).map(i => ("hotgram", i.toLong, pad)) ++
+        (0 until 2000).map(i => (s"g$i", i.toLong, pad)) ++
+        (0 until 2000).map(i => (s"g$i", (10000 + i).toLong, pad)))
+        .toDF("key", "v", "pad").repartition(4)
+      val guarded = graft.skew.KeyCaps.keepKeysWithCountAtLeast(rows, Seq("key"), 2L)
+        .select("v") // collect through guarded's OWN QueryExecution (count() would plan its own)
+      assert(guarded.collect().length == 64000)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"),
+        s"AQE must skew-split the semi-join:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("corpus chain: no stage re-runs an upstream corpus pass (lineage cut at checkpoints)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val packed = graft.text.CorpusChain.corpusChain(
