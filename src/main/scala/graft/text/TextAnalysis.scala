@@ -195,14 +195,25 @@ object TextAnalysis {
    * pipeline): quality gate + language gate + repetition gate + exact-dup
    * gate (only the lowest doc id per normalized-text hash survives), each
    * reported as its own flag so downstream can audit why a document was
-   * dropped. ONE shuffle total (the dedup window on the fingerprint);
-   * every other gate is a map-side column expression.
+   * dropped.
+   *
+   * The exact-dup gate is a COMBINABLE min-per-fingerprint groupBy joined
+   * back — not a fingerprint window: a window gets no partial
+   * aggregation, so a billion-copy boilerplate family (one hot
+   * fingerprint — the canonical exact-dup skew case) would serialize
+   * every copy through one task. The groupBy partial-combines the family
+   * to one row per map partition before its exchange. The planner then
+   * picks the join-back shape by SIZE (PLANS.md §q44): at bench scale
+   * the min table broadcasts and the stream side crosses NO exchange at
+   * all (the min branch is pruned to a 2-column scan); at corpus scale
+   * it degrades to a sort-merge join-back on the fingerprint —
+   * many-rows-to-one, AQE-skew-splittable — never a window. Identical
+   * decision: row_number==1 under orderBy(id) == id==min(id), ids unique.
    */
   def corpusFilter(df: DataFrame, idCol: String, textCol: String,
                    lang: String = "en",
                    maxTopWordFrac: Double = 0.2,
                    maxDup2gramFrac: Double = 0.2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
     val (toks, topCount, grams) = repetitionPieces(t)
     val topFrac = when(size(toks) > 0,
@@ -211,14 +222,15 @@ object TextAnalysis {
       (size(grams) - size(array_distinct(grams))).cast("double") /
         size(grams).cast("double")).otherwise(0.0)
     val norm = lower(trim(regexp_replace(t, "\\s+", " ")))
-    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    qualityScore(langId(df, textCol), textCol)
+    val flagged = qualityScore(langId(df, textCol), textCol)
       .withColumn("pass_quality", col("is_quality"))
       .withColumn("pass_lang", col("pred_lang") === lang)
       .withColumn("pass_repetition",
         !(topFrac > maxTopWordFrac || dupFrac > maxDup2gramFrac))
       .withColumn("__fp", md5(norm))
-      .withColumn("pass_dedup", row_number().over(w) === 1)
+    val minFp = flagged.groupBy("__fp").agg(min(col(idCol)).as("__fp_min"))
+    flagged.join(minFp, Seq("__fp"))
+      .withColumn("pass_dedup", col(idCol) === col("__fp_min"))
       .withColumn("keep",
         col("pass_quality") && col("pass_lang") && col("pass_repetition") && col("pass_dedup"))
       .select(col(idCol), col("pass_quality"), col("pass_lang"),

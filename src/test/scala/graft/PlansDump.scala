@@ -135,10 +135,14 @@ object PlansDump {
       "oracle is DuckDB's native ASOF over the same hot remap).") {
       SparkEntry.queries("q42_asof_salted")(spark, dir).explain("formatted")
     }
-    section("q44 composite corpus filter (one shuffle for four gates)",
+    section("q44 composite corpus filter (no window; combinable min-per-fingerprint gate)",
       "Quality, language and repetition gates are pure projections over the " +
-      "scan; the only Exchange is the fingerprint window for the exact-dup " +
-      "gate — the C4/Gopher cleaning decision costs one shuffle at any scale.") {
+      "scan. The exact-dup gate is a combinable min-per-fingerprint groupBy " +
+      "(partial_min before its Exchange — a billion-copy family collapses " +
+      "map-side, where the former fingerprint window serialized it through " +
+      "one task) joined back by SIZE: here the min table broadcasts and the " +
+      "stream side crosses NO exchange; at corpus scale it becomes a " +
+      "sort-merge join-back, AQE-skew-splittable.") {
       SparkEntry.queries("q44_corpus_filter")(spark, dir).explain("formatted")
     }
     section("q46 sequence packing (one shard-keyed shuffle)",
