@@ -1129,6 +1129,40 @@ object SparkEntry {
        |SELECT id_a, id_b, cid, cosine FROM p WHERE cosine > $t""".stripMargin
   }
 
+  /** q59: full SemDeDup keeper selection — semantic-dup groups as
+    * connected components over the in-cluster pairs, keeper = the member
+    * FARTHEST from its cluster centroid (lowest cosine; the paper keeps
+    * the most marginal example), tie -> smallest id. */
+  private def qSemDedupKeep(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Similarity.semDedupKeep(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = 16, trainN = 4096, threshold = 0.3, maxBucket = 10000)
+
+  /** q59 oracle: q56's training/assignment/pair CTEs + recursive-CTE
+    * connected components + the farthest-from-centroid argmax (cm = the
+    * refined centroids — bit-identical to the Spark side's table). */
+  private val oSemDedupKeep =
+    s"""WITH RECURSIVE ${ivfTrainCtes(16, 4096)},
+       |ok AS (SELECT cid FROM asg GROUP BY 1 HAVING count(*) <= 10000),
+       |ex AS (SELECT asg.* FROM asg JOIN ok USING (cid)),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b
+       |      FROM ex x JOIN ex y USING (cid)
+       |      WHERE x.id < y.id AND ${cosSql("x.v", "y.v")} > 0.3),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+       |wc AS (SELECT comp.cluster_id, comp.id, ${cosSql("ex.v", "cm.c")} AS cen_cos
+       |       FROM comp JOIN ex ON comp.id = ex.id JOIN cm ON ex.cid = cm.cid),
+       |sel AS (SELECT cluster_id, id, cen_cos,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |         row_number() OVER (PARTITION BY cluster_id ORDER BY cen_cos, id) AS rn
+       |       FROM wc)
+       |SELECT cluster_id, n_members, id AS keeper_id, cen_cos AS keeper_cos
+       |FROM sel WHERE rn = 1""".stripMargin
+
   /** q26 oracle: the multimodal metadata contract — media synthesis (kind
     * from id mod 3, payload = UTF-8 bytes of text) and the md5-derived
     * stub-decoder outputs, all replicable in SQL (DuckDB md5(VARCHAR)
@@ -1405,7 +1439,8 @@ object SparkEntry {
     "q55_source_mix" -> (qSourceMix _),
     "q56_semdedup_pairs" -> (qSemDedup _),
     "q57_corpus_chain" -> (qCorpusChain _),
-    "q58_incremental_dedup" -> (qIncrementalDedup _))
+    "q58_incremental_dedup" -> (qIncrementalDedup _),
+    "q59_semdedup_keep" -> (qSemDedupKeep _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1465,7 +1500,8 @@ object SparkEntry {
     "q55_source_mix" -> oSourceMix,
     "q56_semdedup_pairs" -> oSemDedup,
     "q57_corpus_chain" -> oCorpusChain,
-    "q58_incremental_dedup" -> oLshDedup)
+    "q58_incremental_dedup" -> oLshDedup,
+    "q59_semdedup_keep" -> oSemDedupKeep)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

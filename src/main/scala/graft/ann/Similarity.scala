@@ -240,13 +240,61 @@ object Similarity {
       emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", cents)
       .localCheckpoint()
-    val capped = graft.skew.KeyCaps.dropOverCapKeys(assigned, Seq("cid"), maxBucket, site = "semdedup_clusters")
+    inClusterPairs(assigned, threshold, maxBucket, site = "semdedup_clusters")
+      .select("id_a", "id_b", "cid", "cosine")
+  }
+
+  /** Capped in-cluster above-threshold cosine pairs from an assigned
+    * (id, v, cid) working set — the shared core of [[semDedupPairs]] and
+    * [[semDedupKeep]]. */
+  private def inClusterPairs(assigned: DataFrame, threshold: Double,
+                             maxBucket: Int, site: String): DataFrame = {
+    val capped = graft.skew.KeyCaps.dropOverCapKeys(assigned, Seq("cid"), maxBucket,
+      site = site)
     val a = capped.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
     val b = capped.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cid")).where(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .where(col("cosine") > threshold)
-      .select("id_a", "id_b", "cid", "cosine")
+  }
+
+  /**
+   * Full SemDeDup keeper selection (Abbas et al. 2023 §3): semantic-dup
+   * GROUPS are connected components over the in-cluster near-dup pairs,
+   * and each group keeps the member with the LOWEST cosine to its
+   * cluster centroid — the paper keeps the example farthest from the
+   * centroid (it carries the most marginal information), dropping the
+   * rest. Ties break to the smallest id; documents in no group keep
+   * themselves by definition (the output surfaces duplicate groups only,
+   * like clusterRepresentatives).
+   *
+   * Scale shape: pairs as in [[semDedupPairs]]; components via
+   * graft.dedup.Dedup.dedupClusters (bounded driver union-find /
+   * star-contraction); the keeper argmax is a COMBINABLE
+   * min(struct(centroid_cos, id)) aggregate — a giant group
+   * partial-combines map-side, no group window; the centroid-cosine join
+   * is a k-row broadcast.
+   */
+  def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 16, trainN: Int = 4096,
+                   threshold: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
+    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainN)
+    val assigned = assignNearest(
+      emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", cents)
+      .localCheckpoint()
+    val pairs = inClusterPairs(assigned, threshold, maxBucket, site = "semdedup_keep_clusters")
+      .select("id_a", "id_b").localCheckpoint()
+    val groups = graft.dedup.Dedup.dedupClusters(pairs)
+    val withCos = groups
+      .join(assigned.select(col("id").as("doc_id"), col("v"), col("cid")), Seq("doc_id"))
+      .join(broadcast(cents), Seq("cid"))
+      .withColumn("cen_cos", cosine(col("v"), col("c")))
+    withCos.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("cen_cos"), col("doc_id"))).as("__b"))
+      .select(col("cluster_id"), col("n_members"),
+        col("__b.doc_id").as("keeper_id"), col("__b.cen_cos").as("keeper_cos"))
   }
 
   /** IVF search: assign corpus map-side (broadcast-centroid argmax),

@@ -941,6 +941,51 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxLit < 1000, s"data-sized literal leaked into the plan (len=$maxLit)")
   }
 
+  test("SemDeDup keeper: each group keeps the member FARTHEST from its centroid") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pairs = graft.ann.Similarity.semDedupPairs(
+      vecs, "vec_id", "embedding", k = 4, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keep = graft.ann.Similarity.semDedupKeep(
+      vecs, "vec_id", "embedding", k = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(keep.nonEmpty)
+    // groups = connected components over the pair graph; every group's
+    // member count must match, the keeper must be a member, and total
+    // members across groups == docs appearing in any pair
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(keep.map(_._2).sum == inPairs.size)
+    // paper semantics: keeper_cos is the group's MINIMUM centroid cosine.
+    // recompute centroid cosines independently via the trained centroids
+    val cents = graft.ann.Similarity.trainIvfCentroids(vecs, "vec_id", "embedding", k = 4)
+    val asg = graft.ann.Similarity.assignNearest(
+      vecs.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v")), "v", cents)
+      .join(cents, Seq("cid"))
+      .withColumn("cc", graft.ann.Similarity.cosine(col("v"), col("c")))
+      .select("id", "cc").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // union-find over pairs, labels = min id (mirror of dedupClusters)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val groups = inPairs.groupBy(find)
+    assert(keep.length == groups.size)
+    keep.foreach { case (cid, n, keeper, kcos) =>
+      val members = groups(cid)
+      assert(members.size == n && members.contains(keeper))
+      val best = members.map(m => (asg(m), m)).min // lowest cos, tie min id
+      assert(best == ((kcos, keeper)),
+        s"group $cid keeper must be farthest-from-centroid: got ($kcos,$keeper), want $best")
+    }
+  }
+
   test("KeyCaps caps report dropped keys/rows through CapMetrics on a 30%-hot fixture") {
     import spark.implicits._
     val caps = graft.skew.CapMetrics.register(spark)
