@@ -234,14 +234,65 @@ object Similarity {
    */
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int = 16, trainN: Int = 4096,
-                    threshold: Double = 0.3, maxBucket: Int = 10000): DataFrame = {
-    val cents = trainIvfCentroids(emb, idCol, vecCol, k, trainN)
+                    threshold: Double = 0.3, maxBucket: Int = 10000): DataFrame =
+    semDedupPairsWithCentroids(emb, idCol, vecCol,
+      trainIvfCentroids(emb, idCol, vecCol, k, trainN), threshold, maxBucket)
+
+  /** [[semDedupPairs]] against a SUPPLIED quantizer — the production
+    * split: a coarse quantizer is trained once and reused across epochs
+    * (faiss practice, and what makes [[semDedupPairsIncremental]] exact). */
+  def semDedupPairsWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                                 cents: DataFrame, threshold: Double = 0.3,
+                                 maxBucket: Int = 10000): DataFrame = {
     val assigned = assignNearest(
       emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", cents)
       .localCheckpoint()
     inClusterPairs(assigned, threshold, maxBucket, site = "semdedup_clusters")
       .select("id_a", "id_b", "cid", "cosine")
+  }
+
+  /**
+   * Incremental SemDeDup: fold a NEW embedding batch into an existing
+   * assigned corpus WITHOUT re-assigning or re-comparing it — the
+   * semantic mirror of graft.dedup.Dedup.mergeDedupIndex. Centroids are
+   * the FIXED epoch-0 quantizer (the paper trains k-means once); only
+   * the new batch is assigned, and in-cluster cosine runs only for pairs
+   * with >= 1 new member — old/old pairs are already in the previous
+   * epoch's output, and the two sets are disjoint, so their union equals
+   * [[semDedupPairsWithCentroids]] over the union (SparkSpec
+   * differential; the cluster cap is per-epoch, as in the MinHash
+   * incremental path).
+   *
+   * @param oldAssigned the previous epoch's materialized (id, v, cid)
+   *                    working set (what `assignNearest` produced — the
+   *                    artifact a production pipeline persists)
+   * @return (new-member pairs, merged assigned working set for the next
+   *         epoch)
+   */
+  def semDedupPairsIncremental(cents: DataFrame, oldAssigned: DataFrame,
+                               newEmb: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double = 0.3,
+                               maxBucket: Int = 10000): (DataFrame, DataFrame) = {
+    val newAssigned = assignNearest(
+      newEmb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", cents)
+    val allAssigned = oldAssigned.select("id", "v", "cid")
+      .withColumn("is_new", lit(false))
+      .unionByName(newAssigned.select("id", "v", "cid").withColumn("is_new", lit(true)))
+      .localCheckpoint()
+    val capped = graft.skew.KeyCaps.dropOverCapKeys(allAssigned, Seq("cid"), maxBucket,
+      site = "semdedup_incr_clusters")
+    val a = capped.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"),
+      col("is_new").as("__na"))
+    val b = capped.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"),
+      col("is_new").as("__nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b") && (col("__na") || col("__nb")))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") > threshold)
+      .select("id_a", "id_b", "cid", "cosine")
+    (pairs, allAssigned.drop("is_new"))
   }
 
   /** Capped in-cluster above-threshold cosine pairs from an assigned

@@ -173,6 +173,108 @@ object StreamingExtract {
       }
   }
 
+  // ---- watermark-bounded streaming SemDeDup --------------------------------
+
+  final case class SemDoc(id: Long, v: Array[Double], tsUs: Long)
+  /** Same tombstone contract as [[BucketState]]. */
+  final case class SemBucketState(docs: List[SemDoc], overCapUntilUs: Long = 0L)
+  final case class SemPair(id_a: Long, id_b: Long, cosine: Double)
+
+  /** Sequential cosine with the EXACT fold order of
+    * graft.ann.Similarity.cosine (products summed left-to-right from 0.0)
+    * — bit-identical doubles, so the StreamingSpec differential compares
+    * cosines exactly, not approximately. */
+  private def cosineSeq(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /**
+   * Streaming SemDeDup pairs — the semantic sibling of
+   * [[streamingNearDup]]: each embedding is assigned map-side to its
+   * nearest centroid of a FIXED pre-trained quantizer (the static
+   * `cents` table rides in as a stream-static broadcast — the paper
+   * trains k-means once, and a streaming job reuses the persisted epoch
+   * quantizer, exactly like [[graft.ann.Similarity.semDedupPairsIncremental]]);
+   * per-cluster live-document state in flatMapGroupsWithState pairs each
+   * arrival against the live members of its cluster, cosine computed with
+   * the batch fold order.
+   *
+   * Contracts mirror [[streamingNearDup]]: state bounded by the
+   * watermark horizon; the `maxBucket` cap is enforced BEFORE pairing
+   * (O(n) state, never O(n^2) pair objects) with the same
+   * tombstone-until-drained semantics; with a horizon wider than the
+   * data span the pair set (cosines included, bit-exact) EQUALS batch
+   * [[graft.ann.Similarity.semDedupPairsWithCentroids]].
+   */
+  def streamingSemDedup(emb: DataFrame, cents: DataFrame,
+                        idCol: String, vecCol: String, tsCol: String,
+                        horizon: String = "10 minutes",
+                        threshold: Double = 0.3, maxBucket: Int = 10000): Dataset[SemPair] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val assigned = graft.ann.Similarity.assignNearest(
+      emb.withWatermark(tsCol, horizon)
+        .select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v"), col(tsCol).as("__ts")),
+      "v", cents)
+      .select(col("cid"), col("id"), col("v"), unix_micros(col("__ts")).as("us"), col("__ts"))
+      .as[(Long, Long, Array[Double], Long, java.sql.Timestamp)]
+    assigned.groupByKey(_._1)
+      .flatMapGroupsWithState[SemBucketState, SemPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption
+          val incoming = rows.map(r => SemDoc(r._2, r._3, r._4)).toList
+            .sortBy(d => (d.tsUs, d.id))
+          def tombstone(untilUs: Long): Iterator[SemPair] = {
+            if (wmUs >= untilUs) state.remove()
+            else {
+              state.update(SemBucketState(Nil, overCapUntilUs = untilUs))
+              state.setTimeoutTimestamp(math.max(untilUs / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            Iterator.empty
+          }
+          if (st.exists(_.overCapUntilUs > 0L)) {
+            tombstone((st.get.overCapUntilUs +: incoming.map(_.tsUs + 1L)).max)
+          } else {
+            val prev = st.map(_.docs).getOrElse(Nil).filter(_.tsUs >= wmUs)
+            if (prev.size + incoming.size > maxBucket) {
+              tombstone(((prev ++ incoming).map(_.tsUs + 1L) :+ (wmUs + 1L)).max)
+            } else {
+              val out = List.newBuilder[SemPair]
+              var live = prev
+              incoming.foreach { d =>
+                live.foreach { o =>
+                  if (o.id != d.id) {
+                    val c = cosineSeq(o.v, d.v)
+                    if (c > threshold)
+                      out += (if (o.id < d.id) SemPair(o.id, d.id, c)
+                              else SemPair(d.id, o.id, c))
+                  }
+                }
+                live = d :: live
+              }
+              val keep = live.filter(_.tsUs >= wmUs)
+              if (keep.isEmpty) state.remove()
+              else {
+                state.update(SemBucketState(keep))
+                state.setTimeoutTimestamp(math.max(keep.map(_.tsUs).max / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+              out.result().distinct.iterator
+            }
+          }
+      }
+  }
+
   // ---- gap sessionization with custom state --------------------------------
 
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)

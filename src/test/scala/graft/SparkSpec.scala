@@ -941,6 +941,36 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxLit < 1000, s"data-sized literal leaked into the plan (len=$maxLit)")
   }
 
+  test("incremental SemDeDup: old pairs + new-member pairs equal a full run on the union") {
+    import spark.implicits._
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the fixed epoch-0 quantizer: trained once on the OLD corpus
+    val old = vecs.where(col("vec_id") % 2 === 0)
+    val fresh = vecs.where(col("vec_id") % 2 =!= 0)
+    val cents = graft.ann.Similarity.trainIvfCentroids(old, "vec_id", "embedding", k = 4)
+    val full = canon(graft.ann.Similarity.semDedupPairsWithCentroids(
+      vecs, "vec_id", "embedding", cents, threshold = 0.3))
+    val oldPairs = canon(graft.ann.Similarity.semDedupPairsWithCentroids(
+      old, "vec_id", "embedding", cents, threshold = 0.3))
+    val oldAssigned = graft.ann.Similarity.assignNearest(
+      old.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v")), "v", cents)
+      .localCheckpoint()
+    val (incrPairs, mergedAssigned) = graft.ann.Similarity.semDedupPairsIncremental(
+      cents, oldAssigned, fresh, "vec_id", "embedding", threshold = 0.3)
+    val incr = canon(incrPairs)
+    assert((oldPairs ++ incr) == full,
+      s"epoch union must equal full run: missing=${full -- oldPairs -- incr} extra=${(oldPairs ++ incr) -- full}")
+    assert(incr.nonEmpty && oldPairs.nonEmpty && (oldPairs & incr).isEmpty,
+      "old/old and >=1-new pair sets must be disjoint and non-trivial")
+    assert(mergedAssigned.count() == 300L)
+  }
+
   test("SemDeDup keeper: each group keeps the member FARTHEST from its centroid") {
     import spark.implicits._
     val vecs = (0L until 200L).map { i =>

@@ -268,6 +268,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stream must emit exactly one survivor per fingerprint")
   }
 
+  test("streaming SemDeDup equals batch pairs (cosines bit-exact) with a pre-trained quantizer") {
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ssem").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val vecsBatch = (0L until 120L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat),
+        new java.sql.Timestamp(t0 + i * 60000L))
+    }
+    val static = vecsBatch.toDF("vec_id", "embedding", "ts")
+    // epoch-0 quantizer, trained once on the batch corpus
+    val cents = graft.ann.Similarity.trainIvfCentroids(static, "vec_id", "embedding", k = 4)
+    val batch = graft.ann.Similarity.semDedupPairsWithCentroids(
+      static, "vec_id", "embedding", cents, threshold = 0.3)
+      .select("id_a", "id_b", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    static.write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, ts TIMESTAMP"))
+      .parquet(inDir)
+    graft.streaming.StreamingExtract
+      .streamingSemDedup(stream, cents, "vec_id", "embedding", "ts",
+        horizon = "36500 days", threshold = 0.3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.SemPair], _: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val got = spark.read.parquet(outDir).select("id_a", "id_b", "cosine").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch,
+      s"stream must equal batch incl. exact cosines: missing=${batch -- got} extra=${got -- batch}")
+  }
+
   test("streaming near-dup tombstones an over-cap bucket BEFORE materializing pairs") {
     val sq = spark; import sq.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-scap").toString
