@@ -274,13 +274,17 @@ object Similarity {
                                newEmb: DataFrame, idCol: String, vecCol: String,
                                threshold: Double = 0.3,
                                maxBucket: Int = 10000): (DataFrame, DataFrame) = {
+    // only the DELTA materializes (batch-bounded checkpoint); the merged
+    // working set is a lazy union over the previous epoch's
+    // already-materialized checkpoint — per-epoch cost is O(batch),
+    // not O(corpus)
     val newAssigned = assignNearest(
       newEmb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", cents)
+      .localCheckpoint()
     val allAssigned = oldAssigned.select("id", "v", "cid")
       .withColumn("is_new", lit(false))
       .unionByName(newAssigned.select("id", "v", "cid").withColumn("is_new", lit(true)))
-      .localCheckpoint()
     val capped = graft.skew.KeyCaps.dropOverCapKeys(allAssigned, Seq("cid"), maxBucket,
       site = "semdedup_incr_clusters")
     val a = capped.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"),

@@ -426,24 +426,38 @@ object Dedup {
   def mergeDedupIndex(index: DedupIndex, newDocs: DataFrame,
                       idCol: String, textCol: String): DedupIndex = {
     val k = index.k; val bands = index.bands; val rowsPerBand = index.rowsPerBand
+    // Per-epoch MATERIALIZATION is O(delta), not O(index): every new
+    // checkpoint below is batch-bounded, and the merged tables are lazy
+    // unions/anti-joins over the PREVIOUS epoch's already-materialized
+    // checkpoints (replaying a union of materialized RDDs costs nothing)
+    // — the sandbox stand-in for what a table format does with appends +
+    // MERGE INTO, without rewriting the index every epoch.
     val newFamAgg = fam(newDocs, idCol, textCol).groupBy("__fh").agg(
         min(struct(col("doc_id"), col("__text"))).as("__rep"),
         count(lit(1)).as("__n"))
       .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
         col("__rep.__text").as("__text"), col("__n"))
-    // associative re-aggregation == full-run famAgg over the union
-    val mergedFamAgg = index.famAgg.unionByName(newFamAgg)
+      .localCheckpoint() // batch-bounded; feeds the touched re-agg + fresh-sig anti-join
+    // families the batch touches are re-aggregated (associative min/sum ==
+    // full-run famAgg); untouched families pass through from the old
+    // checkpoint via an anti-join on the batch-bounded touched-key set
+    val touched = index.famAgg.join(newFamAgg.select("__fh"), Seq("__fh"), "left_semi")
+      .unionByName(newFamAgg)
       .groupBy("__fh").agg(
         min(struct(col("__keeper").as("doc_id"), col("__text"))).as("__rep"),
         sum(col("__n")).as("__n"))
       .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
         col("__rep.__text").as("__text"), col("__n"))
-      .localCheckpoint()
+      .localCheckpoint() // delta-sized
+    val mergedFamAgg = index.famAgg
+      .join(newFamAgg.select("__fh"), Seq("__fh"), "left_anti")
+      .unionByName(touched)
     // sign ONLY never-before-seen families — the old corpus is not re-read
     val freshFams = newFamAgg.join(index.sigs.select("__fh"), Seq("__fh"), "left_anti")
     val freshSigs = minhashSignatures(
-      freshFams.select(col("__fh"), col("__text")), "__fh", "__text", k, bands * rowsPerBand)
-    val sigsAll = index.sigs.unionByName(freshSigs).localCheckpoint()
+        freshFams.select(col("__fh"), col("__text")), "__fh", "__text", k, bands * rowsPerBand)
+      .localCheckpoint() // delta-sized; feeds the banding flag join + the union
+    val sigsAll = index.sigs.unionByName(freshSigs)
     val bandedAll = sigsAll
       .join(freshSigs.select(col("__fh"), lit(true).as("__new")), Seq("__fh"), "left")
       .select(col("__fh").as("id"), coalesce(col("__new"), lit(false)).as("is_new"),
@@ -452,8 +466,8 @@ object Dedup {
       .localCheckpoint()
     val newVerified = jaccardVerify(mergedFamAgg.select(col("__fh"), col("__text")),
         newCands, "__fh", "__text", k, index.threshold)
-      .select("id_a", "id_b")
-    val verifiedAll = index.verified.unionByName(newVerified).localCheckpoint()
+      .select("id_a", "id_b").localCheckpoint() // pair-bounded
+    val verifiedAll = index.verified.unionByName(newVerified)
     DedupIndex(mergedFamAgg, sigsAll, verifiedAll, k, bands, rowsPerBand, index.threshold)
   }
 
