@@ -190,7 +190,8 @@ object Bench {
       "q49_session_window", "q50_contamination_bloom", "q51_dup_spans",
       "q52_cluster_best", "q53_lexical_commonness", "q54_vocab_topk",
       "q55_source_mix", "q56_semdedup_pairs", "q57_corpus_chain",
-      "q58_incremental_dedup", "q59_semdedup_keep")
+      "q58_incremental_dedup", "q59_semdedup_keep",
+      "q60_semdedup_incremental")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

@@ -1076,9 +1076,9 @@ object SparkEntry {
     * selection by hash rank, argmax assignment, id-ordered Lloyd fold)
     * with the same fold orders as graft.ann.Similarity — used by the q30
     * and q56 oracles; ends with `asg` = (id, v, cid). */
-  private def ivfTrainCtes(k: Int, trainN: Int): String =
+  private def ivfTrainCtes(k: Int, trainN: Int, trainWhere: String = ""): String =
     s"""v AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |trh AS (SELECT id, v FROM v ORDER BY md5('ivf:' || id::VARCHAR), id LIMIT $trainN),
+       |trh AS (SELECT id, v FROM v $trainWhere ORDER BY md5('ivf:' || id::VARCHAR), id LIMIT $trainN),
        |tr AS (SELECT id, v, row_number() OVER (ORDER BY md5('ivf:' || id::VARCHAR), id) - 1 AS rk FROM trh),
        |par AS (SELECT greatest(1, (SELECT count(*) FROM tr) // $k) AS stride),
        |seeds AS (SELECT id AS cid, v AS c FROM tr, par WHERE rk % stride = 0 ORDER BY rk LIMIT $k),
@@ -1162,6 +1162,47 @@ object SparkEntry {
        |       FROM wc)
        |SELECT cluster_id, n_members, id AS keeper_id, cen_cos AS keeper_cos
        |FROM sel WHERE rn = 1""".stripMargin
+
+  /** q60: incremental SemDeDup — the even-id half is the indexed epoch
+    * (quantizer TRAINED ON IT ALONE — the paper/faiss practice of a fixed
+    * epoch-0 quantizer — and its assigned working set persisted); the
+    * odd-id batch is folded via semDedupPairsIncremental, and the output
+    * is old-epoch pairs UNION the >=1-new incremental pairs. The oracle
+    * is a from-scratch full run against the SAME old-trained quantizer —
+    * green means the epoch split reproduces it exactly. */
+  private def qSemDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = t(spark, dir, "embeddings")
+    val old = emb.where(col("vec_id") % 2 === 0)
+    val fresh = emb.where(col("vec_id") % 2 =!= 0)
+    val cents = graft.ann.Similarity.trainIvfCentroids(old, "vec_id", "embedding",
+      k = 16, trainN = 4096)
+    val oldAssigned = graft.ann.Similarity.assignNearest(
+      old.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v")), "v", cents)
+      .localCheckpoint()
+    val oldPairs = graft.ann.Similarity.semDedupPairsFromAssigned(
+      oldAssigned, threshold = 0.3)
+    val (incrPairs, _) = graft.ann.Similarity.semDedupPairsIncremental(
+      cents, oldAssigned, fresh, "vec_id", "embedding", threshold = 0.3)
+    oldPairs.unionByName(incrPairs)
+  }
+
+  /** q60 oracle: q56's chain with training restricted to even ids and
+    * assignment over the full corpus (both epochs' pair sets are
+    * disjoint and union to exactly this full run — the cluster cap is
+    * never crossed at bench scales, so per-epoch capping == full-run
+    * capping). */
+  private val oSemDedupIncr = {
+    val t = 0.3
+    s"""WITH ${ivfTrainCtes(16, 4096, trainWhere = "WHERE id % 2 = 0")},
+       |ok AS (SELECT cid FROM asg GROUP BY 1 HAVING count(*) <= 10000),
+       |ex AS (SELECT asg.* FROM asg JOIN ok USING (cid)),
+       |p AS (SELECT x.id AS id_a, y.id AS id_b, x.cid AS cid,
+       |        ${cosSql("x.v", "y.v")} AS cosine
+       |      FROM ex x JOIN ex y USING (cid) WHERE x.id < y.id)
+       |SELECT id_a, id_b, cid, cosine FROM p WHERE cosine > $t""".stripMargin
+  }
 
   /** q26 oracle: the multimodal metadata contract — media synthesis (kind
     * from id mod 3, payload = UTF-8 bytes of text) and the md5-derived
@@ -1440,7 +1481,8 @@ object SparkEntry {
     "q56_semdedup_pairs" -> (qSemDedup _),
     "q57_corpus_chain" -> (qCorpusChain _),
     "q58_incremental_dedup" -> (qIncrementalDedup _),
-    "q59_semdedup_keep" -> (qSemDedupKeep _))
+    "q59_semdedup_keep" -> (qSemDedupKeep _),
+    "q60_semdedup_incremental" -> (qSemDedupIncr _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1501,7 +1543,8 @@ object SparkEntry {
     "q56_semdedup_pairs" -> oSemDedup,
     "q57_corpus_chain" -> oCorpusChain,
     "q58_incremental_dedup" -> oLshDedup,
-    "q59_semdedup_keep" -> oSemDedupKeep)
+    "q59_semdedup_keep" -> oSemDedupKeep,
+    "q60_semdedup_incremental" -> oSemDedupIncr)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

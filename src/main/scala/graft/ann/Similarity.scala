@@ -299,6 +299,14 @@ object Similarity {
     (pairs, allAssigned.drop("is_new"))
   }
 
+  /** [[semDedupPairsWithCentroids]] over an ALREADY-ASSIGNED (id, v,
+    * cid) working set — for callers that persisted the assignment
+    * (epoch pipelines: the assignment is the artifact, don't redo it). */
+  def semDedupPairsFromAssigned(assigned: DataFrame, threshold: Double = 0.3,
+                                maxBucket: Int = 10000): DataFrame =
+    inClusterPairs(assigned, threshold, maxBucket, site = "semdedup_clusters")
+      .select("id_a", "id_b", "cid", "cosine")
+
   /** Capped in-cluster above-threshold cosine pairs from an assigned
     * (id, v, cid) working set — the shared core of [[semDedupPairs]] and
     * [[semDedupKeep]]. */
