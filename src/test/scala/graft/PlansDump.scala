@@ -58,11 +58,14 @@ object PlansDump {
       "The query side is a BroadcastNestedLoopJoin build side; the corpus streams.") {
       SparkEntry.queries("q24_ann_topk")(spark, dir).explain("formatted")
     }
-    section("q30 ANN IVF (map-side centroid argmax — zero assignment shuffle)",
-      "Corpus-to-centroid assignment is a Project over literal centroids " +
-      "(no crossJoin, no per-id window, no n*k shuffle — the round-1 " +
-      "scale-killer); the only exchanges are the probe join keyed by " +
-      "centroid_id and the salted top-k windows.") {
+    section("q30 ANN IVF (broadcast-centroid fold argmax — zero assignment shuffle)",
+      "Corpus-to-centroid assignment is a fold over a ONE-row broadcast " +
+      "centroid array (BroadcastNestedLoopJoin against a single row — no " +
+      "per-id window, no n*k shuffle, and k lives in the broadcast " +
+      "relation, not the plan, so the quantizer can grow to SemDeDup-scale " +
+      "k); the only exchanges are the probe join keyed by centroid_id and " +
+      "the salted top-k windows. Training is a hash-sampled " +
+      "TakeOrderedAndProject — never a global sort, never a driver collect.") {
       SparkEntry.queries("q30_ann_ivf")(spark, dir).explain("formatted")
     }
     section("q21 MinHash candidates (single-fold signature, broadcast-capped bucket shuffle)",
@@ -253,6 +256,14 @@ object PlansDump {
       "the old signatures from a checkpointed RDD — no shingle/signature " +
       "fold over the indexed corpus appears anywhere.") {
       SparkEntry.queries("q58_incremental_dedup")(spark, dir).explain("formatted")
+    }
+    section("q60 incremental SemDeDup (fixed epoch-0 quantizer, O(delta) fold)",
+      "The odd-id batch is assigned against the even-epoch's quantizer " +
+      "(one-row broadcast centroid array) and compared only where a pair " +
+      "has >= 1 new member; the old epoch's assigned working set and pairs " +
+      "enter from checkpointed RDDs — no re-assignment, no re-comparison " +
+      "of the indexed corpus, and every new checkpoint is batch-bounded.") {
+      SparkEntry.queries("q60_semdedup_incremental")(spark, dir).explain("formatted")
     }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +
