@@ -265,6 +265,26 @@ object PlansDump {
       "of the indexed corpus, and every new checkpoint is batch-bounded.") {
       SparkEntry.queries("q60_semdedup_incremental")(spark, dir).explain("formatted")
     }
+    section("Bucketed co-located join (shuffle paid once, at write time)",
+      "Both sides written `bucketBy(8, doc_id)`: every later join on the " +
+      "bucketed key reads co-located buckets — SortMergeJoin with ZERO " +
+      "Exchange (broadcast disabled here to show the shuffle-join path; " +
+      "the technique for repeatedly-joined corpus tables at 100 TB — the " +
+      "write-side shuffle amortizes across every downstream join).") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      spark.sql("DROP TABLE IF EXISTS g_plans_text")
+      spark.sql("DROP TABLE IF EXISTS g_plans_meta")
+      docs.select("doc_id", "text").write.format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable("g_plans_text")
+      docs.select("doc_id", "lang", "n_chars").write.format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable("g_plans_meta")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.table("g_plans_text").join(spark.table("g_plans_meta"), Seq("doc_id"))
+        .select("doc_id", "lang").explain("formatted")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS g_plans_text")
+      spark.sql("DROP TABLE IF EXISTS g_plans_meta")
+    }
     section("q47 int8 quantization (zero Exchange — projection in the scan stage)",
       "Per-vector max-abs scale, code transform and the audit digests are " +
       "codegen'd HOFs over the embedding array: no shuffle, no UDF — at " +

@@ -814,6 +814,39 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.map(_.checksum).sameElements(again.map(_.checksum)))
   }
 
+  test("bucketed tables co-locate the join: zero Exchange on the bucketed key") {
+    // the 100 TB technique for repeated joins on one key (doc_id here,
+    // conv_id in the extraction pipeline): both sides written bucketed
+    // on the join key means the shuffle happened ONCE at write time —
+    // every later join reads co-located buckets with no Exchange at all
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS g_bucket_text")
+    spark.sql("DROP TABLE IF EXISTS g_bucket_meta")
+    docs.select("doc_id", "text")
+      .write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("g_bucket_text")
+    docs.select("doc_id", "lang", "n_chars")
+      .write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("g_bucket_meta")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path (a toy table would broadcast): the
+      // point is that the SORT-MERGE join needs NO exchange off buckets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_bucket_text")
+        .join(spark.table("g_bucket_meta"), Seq("doc_id"))
+        .where(col("n_chars") > 0).select("doc_id", "lang")
+      assert(joined.collect().length == docs.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"bucketed join must run with no Exchange:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS g_bucket_text")
+      spark.sql("DROP TABLE IF EXISTS g_bucket_meta")
+    }
+  }
+
   test("AQE skew-splits the keepKeysWithCountAtLeast semi-join on a degenerate gram key") {
     import spark.implicits._
     // the q51 scale argument rests on AQE splitting a skewed sort-merge
