@@ -306,6 +306,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream must equal batch incl. exact cosines: missing=${batch -- got} extra=${got -- batch}")
   }
 
+  test("streaming SemDeDup horizon evicts state: no cross-horizon pairs") {
+    val sq = spark; import sq.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ssemev").toString
+    val inDir = s"$base/in"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def vec(id: Long, minutes: Long) =
+      (id, Array.tabulate(8)(d => math.sin((id % 3) * 8 + d).toFloat), // 3 near-dup shapes
+        new java.sql.Timestamp(t0 + minutes * 60000L))
+    val all = (Seq(vec(1, 0), vec(2, 1), vec(4, 2)) // 1 & 4 same shape -> pair
+      ++ Seq(vec(900, 50000))                        // sentinel advances watermark
+      ++ Seq(vec(10, 100000), vec(13, 100001)))      // same shape as 1/4, far later
+    val static = all.toDF("vec_id", "embedding", "ts")
+    val cents = graft.ann.Similarity.trainIvfCentroids(static, "vec_id", "embedding", k = 2)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, ts TIMESTAMP"))
+        .parquet(inDir)
+      graft.streaming.StreamingExtract
+        .streamingSemDedup(stream, cents, "vec_id", "embedding", "ts",
+          horizon = "60 minutes", threshold = 0.99)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.StreamingExtract.SemPair], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    def gotPairs() = spark.read.parquet(outDir).select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(vec(1, 0), vec(2, 1), vec(4, 2)).toDF("vec_id", "embedding", "ts")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    assert(gotPairs() == Set((1L, 4L)), s"phase-1 in-horizon pair: ${gotPairs()}")
+    Seq(vec(900, 50000)).toDF("vec_id", "embedding", "ts")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    // identical-shape vectors re-arrive far past the horizon: they pair
+    // with each other, never with the evicted phase-1 members
+    Seq(vec(10, 100000), vec(13, 100001)).toDF("vec_id", "embedding", "ts")
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    assert(gotPairs() == Set((1L, 4L), (10L, 13L)),
+      s"cross-horizon pairs must not appear: ${gotPairs()}")
+  }
+
   test("streaming near-dup tombstones an over-cap bucket BEFORE materializing pairs") {
     val sq = spark; import sq.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-scap").toString
