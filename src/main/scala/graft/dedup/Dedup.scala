@@ -471,6 +471,28 @@ object Dedup {
     DedupIndex(mergedFamAgg, sigsAll, verifiedAll, k, bands, rowsPerBand, index.threshold)
   }
 
+  /** Re-materialize an index's three tables. [[mergeDedupIndex]] keeps
+    * merged tables as LAZY unions over the previous epoch's checkpoints
+    * (per-epoch cost O(delta)), so after E epochs the lineage is a chain
+    * of E union/anti-join nodes — harmless for tens of epochs, but a
+    * long-running pipeline compacts every so often (exactly when a
+    * table-format-backed pipeline would rewrite/cluster its files). */
+  def compactDedupIndex(index: DedupIndex): DedupIndex = {
+    // rebuild from the RDD before checkpointing: a checkpointed plan
+    // carries origin CONSTRAINTS that can reference attributes outside
+    // its own output (e.g. join-derived equalities over dropped columns),
+    // and a Union over such children fails constraint rewriting
+    // ("key not found: id_a#..." in UnionBase.rewriteConstraints) when
+    // the chain is checkpointed again. The RDD round-trip drops all
+    // origin metadata — it is also the honest analog of what compaction
+    // IS in a table-format pipeline: rewriting the files
+    def rebarrier(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema).localCheckpoint()
+    index.copy(famAgg = rebarrier(index.famAgg),
+      sigs = rebarrier(index.sigs),
+      verified = rebarrier(index.verified))
+  }
+
   /** [[lshDedupClusters]] over (indexed corpus + new batch) via
     * [[mergeDedupIndex]] — returns the merged index alongside the
     * cluster labels so the next epoch can fold onto it. */

@@ -916,9 +916,10 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (_, m1) = graft.dedup.Dedup.incrementalDedupClusters(idx2,
       docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 150 && col("doc_id") < 250),
       "doc_id", "text")
-    val (incr2, _) = graft.dedup.Dedup.incrementalDedupClusters(m1, docs, fresh,
-      "doc_id", "text")
-    assert(labels(incr2) == full, "two-epoch fold must equal from-scratch")
+    val (incr2, _) = graft.dedup.Dedup.incrementalDedupClusters(
+      graft.dedup.Dedup.compactDedupIndex(m1), docs, fresh, "doc_id", "text")
+    assert(labels(incr2) == full,
+      "two-epoch fold (with an inter-epoch compaction) must equal from-scratch")
     // keeper drift: a NEW doc with a smaller id than an old family's
     // keeper must relabel the family without re-signing it
     import spark.implicits._
