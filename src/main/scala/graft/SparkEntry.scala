@@ -491,6 +491,10 @@ object SparkEntry {
     graft.dedup.Dedup.dupSpans(t(spark, dir, "documents"), "doc_id", "text",
       k = 8, minCount = 2)
 
+  private def qRemoveDupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.removeDupSpans(t(spark, dir, "documents"), "doc_id", "text",
+      k = 8, minCount = 2)
+
   private val oDupSpans =
     """WITH t AS (
       |  SELECT doc_id,
@@ -520,6 +524,51 @@ object SparkEntry {
       |  FROM i GROUP BY doc_id, n_tokens, island)
       |SELECT doc_id, n_tokens, count(*) AS n_dup_spans, sum(en - st)::BIGINT AS dup_tokens
       |FROM s GROUP BY doc_id, n_tokens""".stripMargin
+
+  /** q61: q51's island CTEs, then rebuild the kept token stream — a token
+    * index survives iff no merged island [st,en) covers it. */
+  private val oRemoveDupSpans =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.pos,
+      |    ('0x' || substr(md5(array_to_string(list_slice(tk, u.pos + 1, u.pos + 8), ' ')), 1, 15))::BIGINT AS h
+      |  FROM t, unnest(range(0, len(tk) - 8 + 1)) AS u(pos)
+      |  WHERE len(tk) >= 8),
+      |f AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM g)
+      |  WHERE cnt >= 2),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+      |  FROM f),
+      |i AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN max_end IS NULL OR pos > max_end THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m),
+      |s AS (
+      |  SELECT doc_id, island, min(pos) AS st, max(pos + 8) AS en
+      |  FROM i GROUP BY doc_id, island),
+      |tok AS (
+      |  SELECT t.doc_id, u.i, tk[u.i + 1] AS tok
+      |  FROM t, unnest(range(0, len(tk))) AS u(i)),
+      |kept AS (
+      |  SELECT tok.doc_id, string_agg(tok.tok, ' ' ORDER BY tok.i) AS clean_text,
+      |    count(*)::BIGINT AS kept_tokens
+      |  FROM tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM s
+      |    WHERE s.doc_id = tok.doc_id AND tok.i >= s.st AND tok.i < s.en)
+      |  GROUP BY tok.doc_id)
+      |SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+      |  coalesce(kept.kept_tokens, 0)::BIGINT AS kept_tokens,
+      |  (len(tk) - coalesce(kept.kept_tokens, 0))::BIGINT AS removed_tokens,
+      |  coalesce(kept.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id""".stripMargin
 
   private def qSample(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.deterministicSample(
@@ -1482,7 +1531,8 @@ object SparkEntry {
     "q57_corpus_chain" -> (qCorpusChain _),
     "q58_incremental_dedup" -> (qIncrementalDedup _),
     "q59_semdedup_keep" -> (qSemDedupKeep _),
-    "q60_semdedup_incremental" -> (qSemDedupIncr _))
+    "q60_semdedup_incremental" -> (qSemDedupIncr _),
+    "q61_remove_dup_spans" -> (qRemoveDupSpans _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1544,7 +1594,8 @@ object SparkEntry {
     "q57_corpus_chain" -> oCorpusChain,
     "q58_incremental_dedup" -> oLshDedup,
     "q59_semdedup_keep" -> oSemDedupKeep,
-    "q60_semdedup_incremental" -> oSemDedupIncr)
+    "q60_semdedup_incremental" -> oSemDedupIncr,
+    "q61_remove_dup_spans" -> oRemoveDupSpans)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -118,13 +118,23 @@ object Dedup {
    * positions; everything integer-exact, never a pair join.
    */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
-               k: Int = 8, minCount: Int = 2): DataFrame = {
+               k: Int = 8, minCount: Int = 2): DataFrame =
+    dupSpanIslands(df, idCol, textCol, k, minCount, site = "dup_span_grams")
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s")).as("dup_tokens"))
+
+  /** Merged duplicated-token islands per doc: (doc_id, n_tokens, __s, __e)
+    * with [__s, __e) half-open in token-index space. Shared by
+    * [[dupSpans]] (coverage stats) and [[removeDupSpans]] (text surgery). */
+  private def dupSpanIslands(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, minCount: Int, site: String): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         posexplode(positionalGrams(col("tk"), k)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
         md5Hash60(col("sh")).as("h"))
-    val dup = graft.skew.KeyCaps.keepKeysWithCountAtLeast(base, Seq("h"), minCount, site = "dup_span_grams")
+    val dup = graft.skew.KeyCaps.keepKeysWithCountAtLeast(base, Seq("h"), minCount, site = site)
       .select("doc_id", "n_tokens", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -135,9 +145,51 @@ object Dedup {
       .withColumn("__island", sum("__new").over(wOrd))
       .groupBy(col("doc_id"), col("n_tokens"), col("__island"))
       .agg(min("pos").as("__s"), max(col("pos") + k).as("__e"))
-      .groupBy("doc_id", "n_tokens")
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("__e") - col("__s")).as("dup_tokens"))
+  }
+
+  /**
+   * Duplicated-span REMOVAL — the actual output of substring dedup
+   * (Lee et al. 2022 §4: cut the duplicated substring, keep the rest),
+   * at the same word k-gram granularity as [[dupSpans]]: every token
+   * whose index falls inside a merged duplicated island is dropped and
+   * the survivors are re-joined with single spaces over the NORMALIZED
+   * token stream (the stream the duplication statistic is defined on —
+   * exact byte-level surgery on raw text would need char offsets the
+   * token normalizer erases). Emits one row per input document,
+   * including documents with nothing to remove (clean_text = full token
+   * stream) and empty documents (clean_text = "").
+   *
+   * Invariant vs [[dupSpans]]: removed_tokens here == dup_tokens there,
+   * per doc (spec-asserted).
+   *
+   * Scale shape: the islands side is [[dupSpans]]'s (combinable gram
+   * count + KeyCaps semi-join + doc-keyed merge); islands then collapse
+   * to ONE doc-bounded spans array per doc (combinable collect — a doc's
+   * island count is bounded by its own length, never corpus-sized) and
+   * join back to the corpus on the doc key — AQE-splittable equi-join,
+   * the corpus side crosses exactly one exchange. Token filtering is a
+   * codegen'd higher-order filter/exists over the row-local spans array;
+   * no window over the corpus, no pair join, nothing collected.
+   */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = dupSpanIslands(df, idCol, textCol, k, minCount,
+      site = "dup_span_rm_grams")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("__s").as("s"), col("__e").as("e"))))
+        .as("__spans"))
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("tk")).otherwise(
+          filter(col("tk"), (_, i) =>
+            !exists(col("__spans"), sp =>
+              i.cast("long") >= sp("s") && i.cast("long") < sp("e")))))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        (size(col("tk")) - size(col("__kept"))).cast("long").as("removed_tokens"),
+        array_join(col("__kept"), " ").as("clean_text"))
   }
 
   /**

@@ -595,6 +595,34 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == (2L, 6L), s"separated islands stay separate: ${got(5L)}")
   }
 
+  test("duplicated-span removal cuts exactly the merged islands, keeps clean docs whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q"),
+      (3L, "p q r s t u v w"),
+      (4L, "m n o m n o m n o"),
+      (5L, "a b c z1 z2 z3 z4 c d e")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.removeDupSpans(docs, "doc_id", "text", k = 3, minCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+        r.getAs[Long]("removed_tokens"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got.size == 5, "one row per input doc, including clean and emptied ones")
+    assert(got(1L) == ((8L, 3L, 5L, "f g h")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((8L, 3L, 5L, "x y q")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((8L, 8L, 0L, "p q r s t u v w")), "clean doc passes through whole")
+    assert(got(4L) == ((9L, 0L, 9L, "")), "fully-duplicated doc empties")
+    assert(got(5L) == ((10L, 4L, 6L, "z1 z2 z3 z4")), s"doc5: ${got(5L)}")
+    // invariant vs the coverage statistic: removed == dup_tokens per doc
+    val cov = graft.dedup.Dedup.dupSpans(docs, "doc_id", "text", k = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_tokens")).toMap
+    got.foreach { case (id, (_, _, removed, _)) =>
+      assert(removed == cov.getOrElse(id, 0L), s"doc $id removed=$removed cov=${cov.get(id)}")
+    }
+  }
+
   test("cluster representatives keep the best-scored member, tie-break min id") {
     import spark.implicits._
     // two near-dup families built from shared token runs (jaccard ~1.0)
