@@ -1323,6 +1323,21 @@ object SparkEntry {
       |top AS (SELECT term, n FROM vc ORDER BY n DESC, term LIMIT 50)
       |SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, term, n FROM top""".stripMargin
 
+  /** BPE first-merge statistic: top-K adjacent char pairs, vocab-weighted. */
+  private def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusAnalysis.bpePairCounts(t(spark, dir, "documents"), "text", 50)
+
+  private val oBpePairs =
+    """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS wcnt FROM toks GROUP BY 1),
+      |p AS (SELECT substr(word, u.i + 1, 2) AS pair, wcnt
+      |  FROM wc, unnest(range(0, len(word) - 1)) AS u(i)
+      |  WHERE len(word) >= 2),
+      |pc AS (SELECT pair, sum(wcnt)::BIGINT AS n FROM p GROUP BY 1),
+      |top AS (SELECT pair, n FROM pc ORDER BY n DESC, pair LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n FROM top""".stripMargin
+
   /** Corpus-mix audit: per-source doc/token/char totals + token share. */
   private def qSourceMix(spark: SparkSession, dir: String): DataFrame =
     graft.text.CorpusAnalysis.sourceMix(t(spark, dir, "documents"), "source", "text")
@@ -1532,7 +1547,8 @@ object SparkEntry {
     "q58_incremental_dedup" -> (qIncrementalDedup _),
     "q59_semdedup_keep" -> (qSemDedupKeep _),
     "q60_semdedup_incremental" -> (qSemDedupIncr _),
-    "q61_remove_dup_spans" -> (qRemoveDupSpans _))
+    "q61_remove_dup_spans" -> (qRemoveDupSpans _),
+    "q62_bpe_pairs" -> (qBpePairs _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1595,7 +1611,8 @@ object SparkEntry {
     "q58_incremental_dedup" -> oLshDedup,
     "q59_semdedup_keep" -> oSemDedupKeep,
     "q60_semdedup_incremental" -> oSemDedupIncr,
-    "q61_remove_dup_spans" -> oRemoveDupSpans)
+    "q61_remove_dup_spans" -> oRemoveDupSpans,
+    "q62_bpe_pairs" -> oBpePairs)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

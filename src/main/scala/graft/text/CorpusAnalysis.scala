@@ -224,6 +224,43 @@ object CorpusAnalysis {
   }
 
   /**
+   * First BPE merge statistic — the inner loop of byte-pair-encoding
+   * tokenizer training (Sennrich et al. 2016, arXiv:1508.07909): count
+   * adjacent character pairs across the corpus and rank the top-K merge
+   * candidates (count desc, pair asc — the deterministic merge order).
+   * Pairs never cross word boundaries; no word-end marker (the corpus
+   * tokenizer already erases the whitespace the marker would encode).
+   *
+   * Scale shape — the BPE-at-scale trick: pair counting runs over the
+   * DISTINCT-WORD VOCABULARY weighted by word frequency, not over the
+   * raw character stream. The only corpus-sized pass is ONE combinable
+   * word-count groupBy (corpus -> vocab-sized); the char-pair explode
+   * then touches vocab rows only — at 100 TB the vocabulary is millions
+   * of rows where the character stream is quadrillions, so each BPE
+   * iteration costs a vocab-sized job, not a corpus re-read. Pair sums
+   * are again combinable, and the top-K plans as TakeOrderedAndProject
+   * (per-partition top-K merged once — no global sort).
+   *
+   * Words of length 1 contribute no pair — filtered BEFORE the explode
+   * (Spark's `sequence(0, -1)` would DESCEND, not produce empty).
+   */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wc = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__wc"))
+    wc.where(length(col("word")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), length(col("word")) - 2),
+        i => col("word").substr(i + 1, lit(2)))).as("pair"),
+        col("__wc"))
+      .groupBy("pair").agg(sum("__wc").as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("n"), asc("pair"))).cast("long"))
+      .select("rank", "pair", "n")
+  }
+
+  /**
    * Corpus-mix audit: per-source document/token/char totals and each
    * source's share of all corpus tokens — the data-mixture report every
    * training pipeline keeps next to its sampling weights. One combinable

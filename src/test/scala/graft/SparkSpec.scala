@@ -782,6 +782,19 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-15)
   }
 
+  test("BPE pair counts: vocab-weighted char pairs, single-char words excluded, TakeOrdered") {
+    import spark.implicits._
+    // words: aa x1, ab x3, b x2 (no pair), abc x1
+    val docs = Seq((1L, "aa ab b"), (2L, "ab b ab"), (3L, "abc")).toDF("doc_id", "text")
+    val got = graft.text.CorpusAnalysis.bpePairCounts(docs, "text", k = 10)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // pairs: ab = 3 (from ab) + 1 (from abc) = 4; aa = 1; bc = 1 -> tie-break pair asc
+    assert(got.toSeq == Seq((1L, "ab", 4L), (2L, "aa", 1L), (3L, "bc", 1L)), got.toSeq.toString)
+    val plan = graft.text.CorpusAnalysis.bpePairCounts(docs, "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), "BPE top-K must be TakeOrderedAndProject")
+  }
+
   test("KeyCaps guards equal the window-count formulations they replaced, on Zipf-skewed keys") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
