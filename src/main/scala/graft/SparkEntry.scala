@@ -421,6 +421,34 @@ object SparkEntry {
       |       least(tok_start + n_tokens, (pack_id+1)*512) - greatest(tok_start, pack_id*512) AS seg_len
       |FROM o, unnest(generate_series(tok_start//512, (tok_start + n_tokens - 1)//512)) AS u(pack_id)""".stripMargin
 
+  /** Whole-doc greedy packing: docs never split across context windows. */
+  private def qPackWhole(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.packWholeDocs(
+      t(spark, dir, "documents"), "doc_id", "text", packTokens = 512, nShards = 8)
+
+  /** q63: the same greedy fold as a per-shard recursive CTE over doc rank. */
+  private val oPackWhole =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, shard, n,
+      |         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, shard, n, rk, 0::BIGINT AS pack_id, 0::BIGINT AS pack_offset,
+      |         n AS fill
+      |  FROM d WHERE rk = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, d.shard, d.n, d.rk,
+      |    CASE WHEN r.fill > 0 AND r.fill + d.n > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+      |    CASE WHEN r.fill > 0 AND r.fill + d.n > 512 THEN 0::BIGINT ELSE r.fill END,
+      |    CASE WHEN r.fill > 0 AND r.fill + d.n > 512 THEN d.n ELSE r.fill + d.n END
+      |  FROM r JOIN d ON d.shard = r.shard AND d.rk = r.rk + 1)
+      |SELECT doc_id, shard, n AS n_tokens, pack_id, pack_offset, n > 512 AS oversize
+      |FROM r""".stripMargin
+
   /** Int8 scalar quantization of the embedding corpus (digest compare). */
   private def qQuantize(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Quantize.int8(t(spark, dir, "embeddings"))
@@ -1548,7 +1576,8 @@ object SparkEntry {
     "q59_semdedup_keep" -> (qSemDedupKeep _),
     "q60_semdedup_incremental" -> (qSemDedupIncr _),
     "q61_remove_dup_spans" -> (qRemoveDupSpans _),
-    "q62_bpe_pairs" -> (qBpePairs _))
+    "q62_bpe_pairs" -> (qBpePairs _),
+    "q63_pack_whole" -> (qPackWhole _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1612,7 +1641,8 @@ object SparkEntry {
     "q59_semdedup_keep" -> oSemDedupKeep,
     "q60_semdedup_incremental" -> oSemDedupIncr,
     "q61_remove_dup_spans" -> oRemoveDupSpans,
-    "q62_bpe_pairs" -> oBpePairs)
+    "q62_bpe_pairs" -> oBpePairs,
+    "q63_pack_whole" -> oPackWhole)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -129,6 +129,54 @@ object TextAnalysis {
         col("seg_len"))
   }
 
+  /**
+   * Whole-document context packing — the SFT/instruction-tuning variant
+   * of [[packSequences]]: a document (or assembled conversation) is
+   * NEVER split across packs. Documents are taken in stable id order per
+   * shard and greedily assigned: if the current pack can't fit the next
+   * doc, a new pack opens; a doc larger than `packTokens` gets a pack of
+   * its own with `oversize = true` (the caller decides truncation —
+   * packing never silently cuts an example the way concat-then-chunk
+   * deliberately does for pretraining).
+   *
+   * Scale shape: ONE shuffle (repartition on the shard key) and a
+   * per-partition streaming fold with O(1) state — no collect, no
+   * corpus-wide window, shards pack in parallel exactly as in
+   * [[packSequences]]. The greedy open-new-pack-on-overflow reset is
+   * inherently sequential per shard (a prefix-sum window cannot express
+   * the reset), which is why this is one of the few sanctioned
+   * mapPartitions sites; multiple shards hashing into one partition are
+   * handled by resetting the fold state on every shard change.
+   */
+  def packWholeDocs(df: DataFrame, idCol: String, textCol: String,
+                    packTokens: Int, nShards: Int): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive: $packTokens")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val cap = packTokens.toLong
+    df.select(col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol), lit(nShards.toLong)).cast("long").as("shard"),
+        nTokens.as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var pack = 0L
+        var fill = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; pack = 0L; fill = 0L }
+          if (fill > 0 && fill + n > cap) { pack += 1; fill = 0L }
+          val off = fill
+          fill += n
+          (id, shard, n, pack, off, n > cap)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "pack_id", "pack_offset", "oversize")
+  }
+
   /** Fingerprinting: md5 of the normalized text + an 8-hex-char bucket. */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))

@@ -377,6 +377,39 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("whole-doc packing: greedy fill, no doc split, oversize isolated, matches scalar fold") {
+    import spark.implicits._
+    // doc 9 (shard 1) is oversize at cap 16; varied lengths force overflows
+    val docs = (1 to 40).map(i => (i.toLong, ("tok " * (if (i == 9) 25 else i % 11 + 1)).trim))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .packWholeDocs(docs, "doc_id", "text", packTokens = 16, nShards = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    assert(got.size == 40, "one row per doc")
+    // independent scalar reference fold per shard in doc order
+    val ref = scala.collection.mutable.Map[Long, (Long, Long, Long, Long, Boolean)]()
+    (0 until 4).foreach { s =>
+      var pack = 0L; var fill = 0L
+      (1 to 40).filter(_ % 4 == s).foreach { i =>
+        val n = (if (i == 9) 25 else i % 11 + 1).toLong
+        if (fill > 0 && fill + n > 16) { pack += 1; fill = 0 }
+        ref(i.toLong) = (s.toLong, n, pack, fill, n > 16)
+        fill += n
+      }
+    }
+    assert(got == ref.toMap, s"greedy packing diverges from the scalar fold")
+    // no pack overflows except a lone oversize doc; oversize docs sit alone at offset 0
+    val byPack = got.values.groupBy(v => (v._1, v._3))
+    byPack.foreach { case ((shard, pack), ds) =>
+      val total = ds.map(_._2).sum
+      if (ds.exists(_._5)) {
+        assert(ds.size == 1 && ds.head._4 == 0L, s"oversize doc must sit alone ($shard,$pack)")
+      } else assert(total <= 16L, s"pack ($shard,$pack) overflows: $total")
+    }
+  }
+
   test("int8 quantization: codes bounded, dequant error within half a scale step") {
     import spark.implicits._
     val vecs = Seq(
