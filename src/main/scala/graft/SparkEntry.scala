@@ -449,6 +449,36 @@ object SparkEntry {
       |SELECT doc_id, shard, n AS n_tokens, pack_id, pack_offset, n > 512 AS oversize
       |FROM r""".stripMargin
 
+  /** Transcript boilerplate-turn strip: turns repeated across >=2
+    * conversations are cut from the assembled conversation. The transcript
+    * shape is derived deterministically from `documents` (conv = doc, turn
+    * = " data "-separated segment — the corpus' line structure, same as
+    * q03/q38) so the oracle is pure SQL. */
+  private def qStripBoilerTurns(spark: SparkSession, dir: String): DataFrame = {
+    val turns = t(spark, dir, "documents")
+      .select(col("doc_id").as("conv_id"),
+        posexplode(split(col("text"), " data ")).as(Seq("turn_idx", "text")))
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"), col("text"))
+    graft.text.CorpusAnalysis.stripBoilerplateTurns(
+      turns, "conv_id", "turn_idx", "text", minConvs = 2)
+  }
+
+  private val oStripBoilerTurns =
+    """WITH turns AS (
+      |  SELECT doc_id AS conv_id, i - 1 AS turn_idx, arr[i] AS text
+      |  FROM (SELECT doc_id, string_split(text, ' data ') AS arr FROM documents),
+      |       unnest(generate_series(1, len(arr))) AS g(i)),
+      |n AS (SELECT conv_id, turn_idx, text,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h FROM turns),
+      |pc AS (SELECT h, conv_id FROM n GROUP BY h, conv_id),
+      |cc AS (SELECT h, count(*)::BIGINT AS nconv FROM pc GROUP BY 1),
+      |f AS (SELECT n.conv_id, n.turn_idx, n.text, cc.nconv >= 2 AS boiler
+      |  FROM n JOIN cc USING (h))
+      |SELECT conv_id, count(*)::BIGINT AS n_turns,
+      |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler_turns,
+      |  coalesce(string_agg(CASE WHEN NOT boiler THEN text END, chr(10) ORDER BY turn_idx), '') AS clean_text
+      |FROM f GROUP BY conv_id""".stripMargin
+
   /** Int8 scalar quantization of the embedding corpus (digest compare). */
   private def qQuantize(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Quantize.int8(t(spark, dir, "embeddings"))
@@ -1577,7 +1607,8 @@ object SparkEntry {
     "q60_semdedup_incremental" -> (qSemDedupIncr _),
     "q61_remove_dup_spans" -> (qRemoveDupSpans _),
     "q62_bpe_pairs" -> (qBpePairs _),
-    "q63_pack_whole" -> (qPackWhole _))
+    "q63_pack_whole" -> (qPackWhole _),
+    "q64_strip_boiler_turns" -> (qStripBoilerTurns _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1642,7 +1673,8 @@ object SparkEntry {
     "q60_semdedup_incremental" -> oSemDedupIncr,
     "q61_remove_dup_spans" -> oRemoveDupSpans,
     "q62_bpe_pairs" -> oBpePairs,
-    "q63_pack_whole" -> oPackWhole)
+    "q63_pack_whole" -> oPackWhole,
+    "q64_strip_boiler_turns" -> oStripBoilerTurns)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -321,4 +321,43 @@ object CorpusAnalysis {
       .agg(sum("cnt").as("n_lines"),
         sum(when(col("docs_with_line") >= minDocs, col("cnt")).otherwise(0L)).as("n_boiler_lines"))
   }
+
+  /**
+   * Boilerplate-TURN stripping over multi-turn transcripts — the
+   * transcript-granularity main-content extraction: a turn whose
+   * normalized text (the [[graft.dedup.Dedup.exact]] normalization)
+   * appears in at least `minConvs` DISTINCT conversations is boilerplate
+   * (repeated system prompts, canned greetings, templated tool banners)
+   * and is cut from the assembled conversation. Emits one row per
+   * conversation: turn counts and the cleaned turn-ordered assembly
+   * (kept turns joined with '\n'; a fully-templated conversation
+   * assembles to "").
+   *
+   * Scale shape — [[boilerplateLines]] at turn granularity: the
+   * distinct-conversation frequency is a per-(hash, conv) collapse then
+   * a combinable hash-keyed groupBy (a turn text present in EVERY
+   * conversation partial-aggregates map-side — never a hash-keyed
+   * window); the flag joins back on the hash key (AQE-skew-splittable,
+   * broadcastable when the repeated-turn dimension is small); the final
+   * assembly is a conversation-keyed collect bounded by each
+   * conversation's own turn count — the transcript analog of a
+   * doc-bounded spans array, never corpus-sized. No window anywhere.
+   */
+  def stripBoilerplateTurns(turns: DataFrame, convCol: String, idxCol: String,
+                            textCol: String, minConvs: Int): DataFrame = {
+    val base = turns.select(col(convCol).as("conv_id"), col(idxCol).as("turn_idx"),
+      col(textCol).as("text"),
+      md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))).as("__h"))
+    val perConvTurn = base.select("__h", "conv_id")
+      .groupBy("__h", "conv_id").agg(count(lit(1)).as("__cnt"))
+    val nconv = perConvTurn.groupBy("__h").agg(count(lit(1)).as("__nconv"))
+    base.join(nconv, Seq("__h"))
+      .withColumn("__boiler", col("__nconv") >= minConvs)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler_turns"),
+        array_join(transform(sort_array(collect_list(
+          when(!col("__boiler"), struct(col("turn_idx").as("i"), col("text").as("t"))))),
+          s => s("t")), "\n").as("clean_text"))
+  }
 }

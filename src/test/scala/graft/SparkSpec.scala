@@ -815,6 +815,27 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-15)
   }
 
+  test("boilerplate-turn strip: cross-conv repeated turns cut, assembly ordered, no window") {
+    import spark.implicits._
+    // "sys prompt" opens convs 1,2,3 (whitespace-variant in conv 2 —
+    // normalization must still match); "rare" appears twice but only in
+    // conv 1 (intra-conv repeat is NOT boilerplate at minConvs=2)
+    val turns = Seq(
+      (1L, 1L, "sys prompt"), (1L, 2L, "hello there"), (1L, 3L, "rare"), (1L, 4L, "rare"),
+      (2L, 1L, "  sys   prompt "), (2L, 2L, "unique answer"),
+      (3L, 1L, "SYS PROMPT"), (3L, 2L, "sys prompt"), (3L, 3L, "own words")
+    ).toDF("conv_id", "turn_idx", "text")
+    val df = graft.text.CorpusAnalysis.stripBoilerplateTurns(
+      turns, "conv_id", "turn_idx", "text", minConvs = 2)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((4L, 1L, "hello there\nrare\nrare")), s"conv1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, "unique answer")), s"conv2: ${got(2L)}")
+    assert(got(3L) == ((3L, 2L, "own words")), "case/space variants normalize to one template")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "frequency must be a combinable groupBy + join-back, not a hash-keyed window")
+  }
+
   test("BPE pair counts: vocab-weighted char pairs, single-char words excluded, TakeOrdered") {
     import spark.implicits._
     // words: aa x1, ab x3, b x2 (no pair), abc x1
