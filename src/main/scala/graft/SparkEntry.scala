@@ -479,6 +479,25 @@ object SparkEntry {
       |  coalesce(string_agg(CASE WHEN NOT boiler THEN text END, chr(10) ORDER BY turn_idx), '') AS clean_text
       |FROM f GROUP BY conv_id""".stripMargin
 
+  /** Exact per-source length-quantile profile (nearest-rank p50/p90/p99). */
+  private def qLengthProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.lengthProfile(t(spark, dir, "documents"), "source", "text")
+
+  private val oLengthProfile =
+    """WITH d AS (SELECT source,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n FROM documents),
+      |vc AS (SELECT source, n, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2),
+      |c AS (SELECT source, n, cnt,
+      |  sum(cnt) OVER (PARTITION BY source) AS total,
+      |  sum(cnt) OVER (PARTITION BY source ORDER BY n
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM vc)
+      |SELECT source, max(total)::BIGINT AS n_docs,
+      |  min(CASE WHEN cum*100 >= total*50 THEN n END) AS p50_tokens,
+      |  min(CASE WHEN cum*100 >= total*90 THEN n END) AS p90_tokens,
+      |  min(CASE WHEN cum*100 >= total*99 THEN n END) AS p99_tokens
+      |FROM c GROUP BY source""".stripMargin
+
   /** Int8 scalar quantization of the embedding corpus (digest compare). */
   private def qQuantize(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Quantize.int8(t(spark, dir, "embeddings"))
@@ -1608,7 +1627,8 @@ object SparkEntry {
     "q61_remove_dup_spans" -> (qRemoveDupSpans _),
     "q62_bpe_pairs" -> (qBpePairs _),
     "q63_pack_whole" -> (qPackWhole _),
-    "q64_strip_boiler_turns" -> (qStripBoilerTurns _))
+    "q64_strip_boiler_turns" -> (qStripBoilerTurns _),
+    "q65_length_profile" -> (qLengthProfile _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1674,7 +1694,8 @@ object SparkEntry {
     "q61_remove_dup_spans" -> oRemoveDupSpans,
     "q62_bpe_pairs" -> oBpePairs,
     "q63_pack_whole" -> oPackWhole,
-    "q64_strip_boiler_turns" -> oStripBoilerTurns)
+    "q64_strip_boiler_turns" -> oStripBoilerTurns,
+    "q65_length_profile" -> oLengthProfile)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -130,6 +130,38 @@ object TextAnalysis {
   }
 
   /**
+   * Exact per-group length-quantile profile (nearest-rank p50/p90/p99 of
+   * per-doc token counts) — the audit-grade companion to sketch-based
+   * approximate quantiles: corpus curation decisions (truncation limits,
+   * pack sizes, length filters) get pinned to exact integers.
+   *
+   * Scale shape: the ONLY corpus-sized stage is a combinable
+   * (group, value)-count groupBy — the corpus collapses to a dimension
+   * table of at most |groups| x |distinct lengths| rows before any
+   * window; the cumulative-count window then runs over that tiny table
+   * (a source with a billion docs still contributes at most ~1e5
+   * distinct lengths). Percentile selection is integer-exact
+   * (`cum*100 >= p*total` — no float rank arithmetic): the nearest-rank
+   * definition, min value whose cumulative count reaches ceil(p%*n).
+   */
+  def lengthProfile(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val n = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val vc = df.select(col(groupCol).as("__grp"), n.as("n_tokens"))
+      .groupBy("__grp", "n_tokens").agg(count(lit(1)).as("__cnt"))
+    val wTot = Window.partitionBy("__grp")
+    val wCum = Window.partitionBy("__grp").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(p: Int) =
+      min(when(col("__cum") * 100 >= col("__total") * p, col("n_tokens")))
+    vc.withColumn("__total", sum("__cnt").over(wTot))
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .groupBy(col("__grp").as(groupCol))
+      .agg(max("__total").as("n_docs"),
+        pick(50).as("p50_tokens"), pick(90).as("p90_tokens"),
+        pick(99).as("p99_tokens"))
+  }
+
+  /**
    * Whole-document context packing — the SFT/instruction-tuning variant
    * of [[packSequences]]: a document (or assembled conversation) is
    * NEVER split across packs. Documents are taken in stable id order per

@@ -291,6 +291,47 @@ object PlansDump {
       "100 TB this is a pure map stage that fuses with whatever reads it.") {
       SparkEntry.queries("q47_quantize_int8")(spark, dir).explain("formatted")
     }
+    section("q61 duplicated-span removal (doc-bounded spans array + codegen'd HOF filter)",
+      "q51's island chain, then islands collapse to ONE spans array per " +
+      "doc (combinable collect_list — bounded by the doc's own length, " +
+      "never corpus-sized) and join back to the corpus on the doc key " +
+      "(AQE-splittable equi-join; the corpus side crosses exactly one " +
+      "Exchange). The per-token cut is a codegen'd filter/exists over the " +
+      "row-local spans array — no corpus window, no pair join.") {
+      SparkEntry.queries("q61_remove_dup_spans")(spark, dir).explain("formatted")
+    }
+    section("q62 BPE first-merge pairs (vocab-weighted — corpus scanned once)",
+      "The BPE-at-scale trick in the plan: the ONLY corpus-sized stage is " +
+      "the word-count groupBy (partial_count before the word Exchange); " +
+      "the char-pair explode and pair-sum run over the vocab-sized table, " +
+      "and the top-K is TakeOrderedAndProject. Each BPE iteration costs a " +
+      "vocab job, never a corpus re-read.") {
+      SparkEntry.queries("q62_bpe_pairs")(spark, dir).explain("formatted")
+    }
+    section("q63 whole-doc packing (one shard Exchange + per-partition fold)",
+      "Greedy never-split packing: a single shard-keyed repartition, " +
+      "sortWithinPartitions, then a streaming fold with O(1) state per " +
+      "partition (the open-new-pack-on-overflow reset is inherently " +
+      "sequential per shard — a sanctioned mapPartitions site). No " +
+      "window, no collect; shards pack in parallel.") {
+      SparkEntry.queries("q63_pack_whole")(spark, dir).explain("formatted")
+    }
+    section("q64 transcript boilerplate-turn strip (combinable conv-frequency, no window)",
+      "Distinct-conversation frequency per turn template = per-(hash, " +
+      "conv) collapse then a combinable hash-keyed groupBy (partial_count " +
+      "before the hash Exchange — a template in EVERY conversation " +
+      "partial-aggregates map-side) joined back on the hash key; the " +
+      "cleaned assembly is a conversation-keyed collect bounded by each " +
+      "conversation's own turn count. Zero Window operators.") {
+      SparkEntry.queries("q64_strip_boiler_turns")(spark, dir).explain("formatted")
+    }
+    section("q65 length-quantile profile (corpus collapses before any window)",
+      "Exact nearest-rank percentiles: the only corpus-sized stage is the " +
+      "combinable (group, value)-count groupBy (partial_count before its " +
+      "Exchange); the cumulative window and percentile argmin run over the " +
+      "group x distinct-length dimension table only.") {
+      SparkEntry.queries("q65_length_profile")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()

@@ -377,6 +377,19 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("length profile: exact nearest-rank percentiles over the collapsed value dimension") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => ("a", ("x " * i).trim)) ++
+      (1 to 4).map(_ => ("b", "x x x x x x x"))).toDF("source", "text")
+    val got = graft.text.TextAnalysis.lengthProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: lengths 1..10 -> p50 = 5 (cum 5/10), p90 = 9, p99 = 10
+    assert(got("a") == ((10L, 5L, 9L, 10L)), s"a: ${got("a")}")
+    // b: four docs of length 7 collapse to ONE dimension row
+    assert(got("b") == ((4L, 7L, 7L, 7L)), s"b: ${got("b")}")
+  }
+
   test("whole-doc packing: greedy fill, no doc split, oversize isolated, matches scalar fold") {
     import spark.implicits._
     // doc 9 (shard 1) is oversize at cap 16; varied lengths force overflows
