@@ -72,16 +72,82 @@ object Manifests {
                     verify: Boolean = false): DataFrame = {
     val ms = readManifests(outDir)
     require(ms.nonEmpty, s"no committed chunks under $outDir")
-    if (verify) ms.foreach { m =>
-      val row = spark.read.parquet(s"$outDir/chunk=${m.chunk}")
-        .agg(count(lit(1)).as("rows"),
-          coalesce(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
-            .as("checksum"))
-        .head()
-      require(row.getLong(0) == m.rows && row.getLong(1) == m.checksum,
-        s"chunk ${m.chunk} fails manifest audit: rows ${row.getLong(0)}/${m.rows}, " +
-          s"checksum ${row.getLong(1)}/${m.checksum}")
-    }
+    if (verify) ms.foreach(auditChunk(spark, outDir, _))
+    ms.map(m => spark.read.parquet(s"$outDir/chunk=${m.chunk}"))
+      .reduce(_ unionByName _)
+  }
+
+  private def auditChunk(spark: SparkSession, outDir: String, m: ChunkManifest): Unit = {
+    val row = spark.read.parquet(s"$outDir/chunk=${m.chunk}")
+      .agg(count(lit(1)).as("rows"),
+        coalesce(bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("extracted_text"))), lit(0L))
+          .as("checksum"))
+      .head()
+    require(row.getLong(0) == m.rows && row.getLong(1) == m.checksum,
+      s"chunk ${m.chunk} fails manifest audit: rows ${row.getLong(0)}/${m.rows}, " +
+        s"checksum ${row.getLong(1)}/${m.checksum}")
+  }
+
+  // ---- snapshots: Iceberg-style time travel over the committed set ------
+
+  final case class Snapshot(version: Int, chunks: Seq[Int], rows: Long, bytes: Long)
+
+  private def snapshotPath(outDir: String, v: Int): Path =
+    Paths.get(outDir, "manifest", f"snapshot-$v%05d.json")
+
+  /**
+   * Freeze the CURRENT committed chunk set as the next snapshot version
+   * (atomic tmp+rename, like chunk commits). Chunks committed after this
+   * call are invisible to [[readAsOf]] of this version — the Iceberg
+   * snapshot-isolation contract: a reader pinned to a version sees a
+   * stable table no matter how many epochs append afterwards. Call once
+   * per completed epoch/run.
+   */
+  def snapshot(outDir: String): Snapshot = {
+    val ms = readManifests(outDir)
+    require(ms.nonEmpty, s"nothing committed under $outDir to snapshot")
+    val v = snapshots(outDir).lastOption.map(_.version + 1).getOrElse(1)
+    val s = Snapshot(v, ms.map(_.chunk), ms.map(_.rows).sum, ms.map(_.bytes).sum)
+    val dir = Paths.get(outDir, "manifest")
+    val json = s"""{"version":${s.version},"chunks":${s.chunks.mkString("[", ",", "]")},""" +
+      s""""rows":${s.rows},"bytes":${s.bytes}}"""
+    val tmp = dir.resolve(f".snapshot-$v%05d.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, snapshotPath(outDir, v), StandardCopyOption.ATOMIC_MOVE)
+    s
+  }
+
+  /** All snapshot versions, oldest first. */
+  def snapshots(outDir: String): Seq[Snapshot] = {
+    val dir = Paths.get(outDir, "manifest")
+    if (!Files.exists(dir)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("snapshot-\\d+\\.json")).toSeq.sortBy(_.toString)
+      .map { p =>
+        val s = Files.readString(p)
+        def num(k: String): Long = s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
+        val chunks = s.split("\"chunks\":\\[")(1).takeWhile(_ != ']')
+        Snapshot(num("version").toInt,
+          if (chunks.isEmpty) Nil else chunks.split(',').toSeq.map(_.trim.toInt),
+          num("rows"), num("bytes"))
+      }
+  }
+
+  /**
+   * Time-travel read: exactly the chunk set frozen by snapshot `version`,
+   * regardless of chunks committed since. Same committed-only + optional
+   * per-chunk audit guarantees as [[readCommitted]].
+   */
+  def readAsOf(spark: SparkSession, outDir: String, version: Int,
+               verify: Boolean = false): DataFrame = {
+    val snap = snapshots(outDir).find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot version $version under $outDir"))
+    val byChunk = readManifests(outDir).map(m => m.chunk -> m).toMap
+    val ms = snap.chunks.map(k => byChunk.getOrElse(k,
+      throw new IllegalStateException(s"snapshot $version references uncommitted chunk $k")))
+    if (verify) ms.foreach(auditChunk(spark, outDir, _))
     ms.map(m => spark.read.parquet(s"$outDir/chunk=${m.chunk}"))
       .reduce(_ unionByName _)
   }

@@ -133,6 +133,30 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("snapshot time travel: a pinned version ignores chunks committed after it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-timetravel").toString
+    val t1 = graft.io.Transcripts.generateDF(spark, 120L)
+    graft.io.Manifests.resumableExtract(spark, t1, dir, nChunks = 2, numPartitions = 2, salt = 2)
+    val v1 = graft.io.Manifests.snapshot(dir)
+    assert(v1.version == 1 && v1.chunks == Seq(0, 1) && v1.rows == 120L)
+    // epoch 2 appends chunks 2,3 (0,1 skip as already committed)
+    val t2 = graft.io.Transcripts.generateDF(spark, 240L)
+    graft.io.Manifests.resumableExtract(spark, t2, dir, nChunks = 4, numPartitions = 2, salt = 2)
+    val v2 = graft.io.Manifests.snapshot(dir)
+    assert(v2.version == 2 && v2.chunks == Seq(0, 1, 2, 3))
+    val asOf1 = graft.io.Manifests.readAsOf(spark, dir, 1, verify = true).count()
+    val asOf2 = graft.io.Manifests.readAsOf(spark, dir, 2, verify = true).count()
+    assert(asOf1 == 120L, "version 1 must not see later chunks")
+    assert(asOf2 == v2.rows && v2.rows > 120L)
+    assert(asOf2 == graft.io.Manifests.readCommitted(spark, dir).count(),
+      "latest snapshot equals the live committed read")
+    // a snapshot referencing a chunk whose manifest was lost must refuse, not under-read
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest", "chunk-00003.json"))
+    intercept[IllegalStateException] { graft.io.Manifests.readAsOf(spark, dir, 2) }
+    // unknown version is an explicit error
+    intercept[IllegalArgumentException] { graft.io.Manifests.readAsOf(spark, dir, 9) }
+  }
+
   test("WRatio broadcast match assigns bands as the reference thresholds do") {
     import spark.implicits._
     val items = Seq(
