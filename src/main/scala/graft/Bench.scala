@@ -192,7 +192,9 @@ object Bench {
       "q55_source_mix", "q56_semdedup_pairs", "q57_corpus_chain",
       "q58_incremental_dedup", "q59_semdedup_keep",
       "q60_semdedup_incremental", "q61_remove_dup_spans", "q62_bpe_pairs",
-      "q63_pack_whole", "q64_strip_boiler_turns", "q65_length_profile")
+      "q63_pack_whole", "q64_strip_boiler_turns", "q65_length_profile",
+      "q66_conv_integrity", "q67_global_shuffle", "q68_hash_classifier",
+      "q69_truncate_context", "q70_chunk_docs")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

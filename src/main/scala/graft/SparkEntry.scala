@@ -1561,6 +1561,122 @@ object SparkEntry {
     graft.dedup.Dedup.incrementalDedupClusters(idx, docs, fresh, "doc_id", "text")._1
   }
 
+  /** q66: conversation integrity audit over an events-derived turns table
+    * whose derivation DELIBERATELY manufactures structural defects
+    * (turn_idx = event_id mod 40 gives dup indices + gaps; the 5-slot
+    * role wheel gives repeats and orphan tool turns) so every defect
+    * counter exercises. */
+  private def qConvIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val roleWheel = array(lit("system"), lit("user"), lit("assistant"),
+      lit("tool"), lit("user"))
+    val turns = ev.select(
+      pmod(col("user_id"), lit(500L)).as("conv_id"),
+      pmod(col("event_id"), lit(40L)).as("turn_idx"),
+      element_at(roleWheel,
+        (pmod(col("event_id") * 7L + 3L, lit(5L)) + 1L).cast("int")).as("role"),
+      col("ts"), col("event_id"))
+    graft.text.TranscriptOps.convIntegrity(
+      turns, "conv_id", "turn_idx", "role", "ts", "event_id")
+  }
+
+  private val oConvIntegrity =
+    """WITH turns AS (
+      |  SELECT user_id % 500 AS conv_id, event_id % 40 AS turn_idx,
+      |    (['system','user','assistant','tool','user'])[((event_id*7+3) % 5 + 1)] AS role,
+      |    ts, event_id
+      |  FROM events),
+      |l AS (SELECT conv_id, turn_idx, role, ts,
+      |    lag(role) OVER w AS prev_role, lag(ts) OVER w AS prev_ts
+      |  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, event_id)),
+      |a AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+      |    (count(*) - count(DISTINCT turn_idx))::BIGINT AS n_dup_idx,
+      |    (max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx))::BIGINT AS n_idx_gaps,
+      |    sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)::BIGINT AS n_ts_regress,
+      |    sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT AS n_role_repeat,
+      |    sum(CASE WHEN role = 'tool' AND (prev_role IS NULL OR prev_role <> 'assistant')
+      |        THEN 1 ELSE 0 END)::BIGINT AS n_orphan_tool
+      |  FROM l GROUP BY conv_id)
+      |SELECT *, (n_dup_idx = 0 AND n_idx_gaps = 0 AND n_ts_regress = 0
+      |  AND n_role_repeat = 0 AND n_orphan_tool = 0) AS is_clean FROM a""".stripMargin
+
+  /** q67: deterministic global training-order shuffle (seed-keyed md5
+    * permutation, balanced shards, dense per-shard positions). */
+  private def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.globalShuffle(
+      t(spark, dir, "documents").select("doc_id"), "doc_id", seed = 7L, nShards = 16)
+
+  private val oGlobalShuffle =
+    """WITH k AS (SELECT doc_id, md5('shuffle:7:' || doc_id::VARCHAR) AS key FROM documents),
+      |s AS (SELECT doc_id, key,
+      |    ('0x' || substr(key, 1, 15))::BIGINT % 16 AS shard FROM k)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)::BIGINT AS pos
+      |FROM s""".stripMargin
+
+  /** q68: hashed linear quality classifier (fastText/DSIR shape),
+    * integer-exact deterministic weight table. */
+  private def qHashClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.hashClassifierScore(
+      t(spark, dir, "documents"), "doc_id", "text", nBuckets = 1 << 20)
+
+  private val oHashClassifier =
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |    coalesce(list_sum(list_transform(toks, t ->
+      |      ((('0x' || substr(md5('w:' || t), 1, 15))::BIGINT % 1048576)
+      |        * 2654435761) % 8191 - 4095)), 0)::BIGINT AS score_int
+      |  FROM tk)
+      |SELECT doc_id, n_tokens, score_int, score_int > 0 AS keep FROM sc""".stripMargin
+
+  /** q69: context-budget truncation (keep the system turn + the longest
+    * recent-turn suffix fitting 40 tokens) over the q64-style
+    * documents-derived turns table. */
+  private def qTruncateContext(spark: SparkSession, dir: String): DataFrame = {
+    val turns = t(spark, dir, "documents")
+      .select(col("doc_id").as("conv_id"),
+        posexplode(split(col("text"), " data ")).as(Seq("turn_idx", "text")))
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"), col("text"))
+    graft.text.TranscriptOps.truncateContext(
+      turns, "conv_id", "turn_idx", "text", budgetTokens = 40L)
+  }
+
+  private val oTruncateContext =
+    """WITH turns AS (
+      |  SELECT doc_id AS conv_id, i - 1 AS turn_idx, arr[i] AS text
+      |  FROM (SELECT doc_id, string_split(text, ' data ') AS arr FROM documents),
+      |       unnest(generate_series(1, len(arr))) AS g(i)),
+      |tk AS (SELECT conv_id, turn_idx, text,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tok FROM turns),
+      |f AS (SELECT *, sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revcum,
+      |    min(turn_idx) OVER (PARTITION BY conv_id) AS min_idx
+      |  FROM tk),
+      |k AS (SELECT *, (turn_idx = min_idx OR revcum <= 40) AS keep FROM f)
+      |SELECT conv_id, count(*)::BIGINT AS n_turns,
+      |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  sum(tok)::BIGINT AS n_tokens_total,
+      |  sum(CASE WHEN keep THEN tok ELSE 0 END)::BIGINT AS n_tokens_kept,
+      |  md5(coalesce(string_agg(CASE WHEN keep THEN text END, chr(10) ORDER BY turn_idx), ''))
+      |    AS kept_md5
+      |FROM k GROUP BY conv_id""".stripMargin
+
+  /** q70: overlapping-window RAG chunking (32-token windows, stride 24). */
+  private def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.chunkDocs(
+      t(spark, dir, "documents"), "doc_id", "text", windowTokens = 32, strideTokens = 24)
+
+  private val oChunkDocs =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+      |    (1 + (greatest(len(toks) - 32, 0) + 23) // 24)::BIGINT AS nc FROM tk)
+      |SELECT doc_id, u.i::BIGINT AS chunk_idx, (u.i * 24)::BIGINT AS tok_start,
+      |  (least(u.i*24 + 32, n) - u.i*24)::BIGINT AS n_chunk_tokens,
+      |  md5(array_to_string(toks[(u.i*24 + 1):least(u.i*24 + 32, n)], ' ')) AS chunk_md5
+      |FROM d, unnest(generate_series(0, nc - 1)) AS u(i)""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1628,7 +1744,12 @@ object SparkEntry {
     "q62_bpe_pairs" -> (qBpePairs _),
     "q63_pack_whole" -> (qPackWhole _),
     "q64_strip_boiler_turns" -> (qStripBoilerTurns _),
-    "q65_length_profile" -> (qLengthProfile _))
+    "q65_length_profile" -> (qLengthProfile _),
+    "q66_conv_integrity" -> (qConvIntegrity _),
+    "q67_global_shuffle" -> (qGlobalShuffle _),
+    "q68_hash_classifier" -> (qHashClassifier _),
+    "q69_truncate_context" -> (qTruncateContext _),
+    "q70_chunk_docs" -> (qChunkDocs _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1695,7 +1816,12 @@ object SparkEntry {
     "q62_bpe_pairs" -> oBpePairs,
     "q63_pack_whole" -> oPackWhole,
     "q64_strip_boiler_turns" -> oStripBoilerTurns,
-    "q65_length_profile" -> oLengthProfile)
+    "q65_length_profile" -> oLengthProfile,
+    "q66_conv_integrity" -> oConvIntegrity,
+    "q67_global_shuffle" -> oGlobalShuffle,
+    "q68_hash_classifier" -> oHashClassifier,
+    "q69_truncate_context" -> oTruncateContext,
+    "q70_chunk_docs" -> oChunkDocs)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

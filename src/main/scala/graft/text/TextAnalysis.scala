@@ -316,4 +316,90 @@ object TextAnalysis {
       .select(col(idCol), col("pass_quality"), col("pass_lang"),
         col("pass_repetition"), col("pass_dedup"), col("keep"))
   }
+
+  /**
+   * Deterministic global training-order shuffle (q67): the epoch-order
+   * primitive — every row gets a seed-keyed md5 sort key, a balanced
+   * shard (key mod nShards), and a dense position within its shard. The
+   * (shard, pos) pair IS the training order: readers stream shards in
+   * shard order, rows in pos order. Seed-keyed and data-independent, so
+   * the permutation is exactly reproducible and reshard-stable (survives
+   * any input repartitioning), and a different seed is a fresh epoch
+   * permutation — no stored state.
+   *
+   * ONE hash exchange on the shard id; the per-shard row_number sorts
+   * only shard-local rows (corpus/nShards each — size nShards so a shard
+   * fits an executor, the same per-shard contract as [[packSequences]]).
+   * A single global row_number would serialize the corpus through one
+   * partition; hashed shards are balanced by construction (md5 is
+   * uniform), so no skew handling is needed.
+   */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val key = md5(concat(lit(s"shuffle:$seed:"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
+  /**
+   * Hashed linear text classifier (q68): the fastText / DSIR-shaped
+   * quality scorer — each token hashes into one of `nBuckets` feature
+   * buckets; the document score is the sum of per-bucket integer weights
+   * (a deterministic splitmix-style weight table stand-in for trained
+   * weights — the PIPELINE is the deliverable: hashing-trick featurize +
+   * linear scoring at corpus scale, integer-exact so engines agree
+   * bit-for-bit). Pure map-side codegen'd HOF fold: zero shuffles, the
+   * classic "score 100 TB with a linear model" pass.
+   */
+  def hashClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int): DataFrame = {
+    val toks = alnumTokens(col(textCol))
+    val bucket = (t: Column) =>
+      pmod(conv(substring(md5(concat(lit("w:"), t)), 1, 15), 16, 10).cast("long"),
+        lit(nBuckets.toLong))
+    // weight(b) in [-4095, 4095]: Knuth-multiplicative spread of the bucket id
+    val weight = (t: Column) => pmod(bucket(t) * lit(2654435761L), lit(8191L)) - lit(4095L)
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score_int"))
+      .withColumn("keep", col("score_int") > 0L)
+  }
+
+  /**
+   * Overlapping-window chunking (q70): the RAG / embedding-prep splitter —
+   * each document's token stream becomes windows of `windowTokens`
+   * advancing by `strideTokens` (overlap = window - stride), the last
+   * window pulled back so every token is covered and no start runs past
+   * the end. Emits one row per (doc, chunk) with the chunk's token span
+   * and content digest. Pure map-side sequence+explode+slice — chunking
+   * is embarrassingly parallel and must stay that way at 100 TB.
+   */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 && strideTokens <= windowTokens,
+      s"need 0 < stride <= window: window=$windowTokens stride=$strideTokens")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks).cast("long")
+    // chunks needed to cover n tokens: 1 + ceil(max(n-window,0)/stride).
+    // floor over double division is exact here (token counts << 2^52);
+    // Column./ is always Divide-as-double in Spark, so floor+cast pins it.
+    val nChunks = lit(1L) +
+      floor((greatest(n - windowTokens, lit(0L)) + (strideTokens - 1)) /
+        lit(strideTokens.toLong)).cast("long")
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0L), (col("__nc") - 1L) * strideTokens,
+          lit(strideTokens.toLong))).as(Seq("chunk_idx", "tok_start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("tok_start"),
+        (least(col("tok_start") + windowTokens, col("__n")) - col("tok_start"))
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col("__toks"), (col("tok_start") + 1L).cast("int"),
+          (least(col("tok_start") + windowTokens, col("__n")) - col("tok_start")).cast("int")),
+          " ")).as("chunk_md5"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Transcript-structure operators: the conversation-level counterparts of
+ * the per-document corpus operators — this graft cell's payload is
+ * multi-turn conversation/agent transcripts (BASELINE.json input_hint),
+ * and a production transcript pipeline audits/repairs conversation
+ * STRUCTURE before any per-turn text work runs.
+ *
+ * Scale contract shared by both operators: exactly ONE conv_id-keyed
+ * exchange; every per-conversation computation (ordered lag, reverse
+ * cumulative budget) is bounded by that conversation's own turn count —
+ * the same conversation-bounded argument as the q64 assembly collect and
+ * the as-of ordered window. Conversations at 10^12-turn corpus scale are
+ * individually small (turn counts in the thousands); the corpus scales
+ * by conversation COUNT, which is exactly the dimension these plans
+ * parallelize over.
+ */
+object TranscriptOps {
+
+  /**
+   * Conversation integrity audit (q66): per-conversation structural
+   * defect counts over the (conv_id, turn_idx, role, ts) contract —
+   * duplicated turn indices, index gaps, timestamp regressions in turn
+   * order, consecutive same-role turns, and tool turns not preceded by
+   * an assistant turn (orphaned tool results). `ordCol` breaks turn_idx
+   * ties deterministically (any unique column — an event id).
+   *
+   * One conv-keyed window (lag of role/ts in (turn_idx, ord) order),
+   * then a combinable groupBy — defect counts partial-aggregate
+   * map-side after the single exchange.
+   */
+  def convIntegrity(turns: DataFrame, convCol: String, idxCol: String,
+                    roleCol: String, tsCol: String, ordCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol), col(ordCol))
+    val lagged = turns
+      .withColumn("__prev_role", lag(col(roleCol), 1).over(w))
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+    lagged.groupBy(col(convCol).as("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        (count(lit(1)) - countDistinct(col(idxCol))).as("n_dup_idx"),
+        (max(col(idxCol)) - min(col(idxCol)) + 1L - countDistinct(col(idxCol)))
+          .as("n_idx_gaps"),
+        sum(when(col(tsCol) < col("__prev_ts"), 1L).otherwise(0L))
+          .as("n_ts_regress"),
+        sum(when(col(roleCol) === col("__prev_role"), 1L).otherwise(0L))
+          .as("n_role_repeat"),
+        sum(when(col(roleCol) === "tool" &&
+            (col("__prev_role").isNull || col("__prev_role") =!= "assistant"), 1L)
+          .otherwise(0L)).as("n_orphan_tool"))
+      .withColumn("is_clean",
+        col("n_dup_idx") === 0L && col("n_idx_gaps") === 0L &&
+        col("n_ts_regress") === 0L && col("n_role_repeat") === 0L &&
+        col("n_orphan_tool") === 0L)
+  }
+
+  /**
+   * Context-window truncation (q69): the SFT preprocessing step that fits
+   * a long conversation into a token budget by keeping the FIRST turn
+   * (system prompt) plus the longest SUFFIX of turns whose combined
+   * token count fits `budgetTokens` (most-recent-context-wins, the
+   * standard chat-truncation contract). The first turn is always kept
+   * and does not consume suffix budget. Token = whitespace token, the
+   * corpus-wide convention.
+   *
+   * One conv-keyed window carrying both frames (reverse cumulative token
+   * sum for the suffix test, partition min for the system turn) over the
+   * single exchange; output re-assembly is a conversation-bounded
+   * ordered collect.
+   */
+  def truncateContext(turns: DataFrame, convCol: String, idxCol: String,
+                      textCol: String, budgetTokens: Long): DataFrame = {
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val wDesc = Window.partitionBy(col(convCol)).orderBy(col(idxCol).desc)
+    val wAll = Window.partitionBy(col(convCol))
+    val flagged = turns
+      .withColumn("__tok", nTok)
+      .withColumn("__revcum", sum(col("__tok")).over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__min_idx", min(col(idxCol)).over(wAll))
+      .withColumn("__keep",
+        col(idxCol) === col("__min_idx") || col("__revcum") <= budgetTokens)
+    flagged.groupBy(col(convCol).as("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__tok")).as("n_tokens_total"),
+        sum(when(col("__keep"), col("__tok")).otherwise(0L)).as("n_tokens_kept"),
+        md5(array_join(transform(sort_array(collect_list(
+            when(col("__keep"), struct(col(idxCol).as("i"), col(textCol).as("t"))))),
+          s => s("t")), "\n")).as("kept_md5"))
+  }
+}

@@ -1253,4 +1253,122 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       dup, products, Seq("item_id"), "name", 3, suggest = 70.0)
     assert(out.count() == 4L, "duplicate keys multiply through the join-back — precondition documented")
   }
+
+  test("convIntegrity counts each structural defect exactly; clean conv flags clean") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(ts0.getTime + s * 1000L)
+    // c1: clean 4-turn conversation (system,user,assistant,tool)
+    // c2: dup idx (two turn_idx=1), idx gap (0,1,1,4), ts regression at
+    //     idx 4, role repeat (user,user), orphan tool at conv start
+    val turns = Seq(
+      ("c1", 0L, "system", ts(0), 1L), ("c1", 1L, "user", ts(1), 2L),
+      ("c1", 2L, "assistant", ts(2), 3L), ("c1", 3L, "tool", ts(3), 4L),
+      ("c2", 0L, "tool", ts(0), 5L), ("c2", 1L, "user", ts(1), 6L),
+      ("c2", 1L, "user", ts(2), 7L), ("c2", 4L, "assistant", ts(1), 8L)
+    ).toDF("conv_id", "turn_idx", "role", "ts", "event_id")
+    val out = graft.text.TranscriptOps
+      .convIntegrity(turns, "conv_id", "turn_idx", "role", "ts", "event_id")
+      .collect().map(r => r.getAs[String]("conv_id") -> r).toMap
+    val c1 = out("c1")
+    assert(c1.getAs[Boolean]("is_clean") && c1.getAs[Long]("n_turns") == 4L)
+    val c2 = out("c2")
+    assert(c2.getAs[Long]("n_dup_idx") == 1L)
+    assert(c2.getAs[Long]("n_idx_gaps") == 2L)    // missing idx 2,3
+    assert(c2.getAs[Long]("n_ts_regress") == 1L)  // ts(1) after ts(2)
+    assert(c2.getAs[Long]("n_role_repeat") == 1L) // user,user
+    assert(c2.getAs[Long]("n_orphan_tool") == 1L) // tool opens the conv
+    assert(!c2.getAs[Boolean]("is_clean"))
+  }
+
+  test("globalShuffle: dense balanced permutation, reshard-stable, seed changes order") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i => s"doc$i").toDF("doc_id")
+    val a = graft.text.TextAnalysis.globalShuffle(docs, "doc_id", seed = 7L, nShards = 8)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    // a true permutation: every doc once, (shard,pos) unique, pos dense 1..n per shard
+    assert(a.length == 400 && a.map(_._1).distinct.length == 400)
+    assert(a.map(t => (t._2, t._3)).distinct.length == 400)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length.toLong)) }
+    // md5 balance: no shard more than 2x the mean at n=400/8
+    assert(a.groupBy(_._2).values.map(_.length).max <= 100)
+    // reshard-stable: same assignment from a repartitioned input
+    val b = graft.text.TextAnalysis.globalShuffle(
+        docs.repartition(13), "doc_id", seed = 7L, nShards = 8)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(a.sorted.sameElements(b.sorted))
+    // a different seed is a genuinely different epoch order
+    val c = graft.text.TextAnalysis.globalShuffle(docs, "doc_id", seed = 8L, nShards = 8)
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    val aMap = a.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(aMap.count { case (d, sp) => c(d) != sp } > 300)
+  }
+
+  test("hashClassifierScore is map-side, deterministic, empty text scores 0") {
+    import spark.implicits._
+    val docs = Seq(("d1", "the quick brown fox"), ("d2", ""), ("d3", "   "),
+      ("d4", "the quick brown fox")).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.hashClassifierScore(docs, "doc_id", "text", 1 << 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier must be map-only:\n$plan")
+    val m = out.collect().map(r => r.getAs[String]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("score_int"), r.getAs[Boolean]("keep")))).toMap
+    assert(m("d1") == m("d4"), "same text, same score")
+    assert(m("d2") == ((0L, 0L, false)) && m("d3") == ((0L, 0L, false)))
+    assert(m("d1")._1 == 4L)
+    assert(m("d1")._3 == (m("d1")._2 > 0L))
+  }
+
+  test("truncateContext keeps the system turn plus the exact fitting suffix") {
+    import spark.implicits._
+    // c1: turn tokens [2, 3, 4, 5] budget 9 -> suffix [4,5] fits (9),
+    //     [3,4,5]=12 does not; first turn always kept => kept 0,2,3
+    // c2: single-turn conv over budget -> first turn still kept
+    val turns = Seq(
+      ("c1", 0L, "a b"), ("c1", 1L, "c d e"), ("c1", 2L, "f g h i"),
+      ("c1", 3L, "j k l m n"),
+      ("c2", 0L, "one two three four five six seven eight nine ten eleven")
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = graft.text.TranscriptOps
+      .truncateContext(turns, "conv_id", "turn_idx", "text", budgetTokens = 9L)
+      .collect().map(r => r.getAs[String]("conv_id") -> r).toMap
+    val c1 = out("c1")
+    assert(c1.getAs[Long]("n_kept") == 3L)
+    assert(c1.getAs[Long]("n_tokens_total") == 14L)
+    assert(c1.getAs[Long]("n_tokens_kept") == 11L) // 2 + 4 + 5
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b\nf g h i\nj k l m n".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(c1.getAs[String]("kept_md5") == expectMd5)
+    val c2 = out("c2")
+    assert(c2.getAs[Long]("n_kept") == 1L && c2.getAs[Long]("n_tokens_kept") == 11L)
+  }
+
+  test("chunkDocs covers every token, pulls the last window back, map-only plan") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    // 3 shapes: shorter than window (1 chunk), exact multiple, awkward tail
+    val docs = Seq(("s", mk(5)), ("e", mk(56)), ("t", mk(61)))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.chunkDocs(docs, "doc_id", "text",
+      windowTokens = 32, strideTokens = 24)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect().map(r => (r.getAs[String]("doc_id"),
+      r.getAs[Long]("chunk_idx"), r.getAs[Long]("tok_start"), r.getAs[Long]("n_chunk_tokens")))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc("s").map(t => (t._2, t._3, t._4)).toSeq == Seq((0L, 0L, 5L)))
+    // n=56: chunks at 0 and 24; second covers 24..56 (32 tokens) — full coverage
+    assert(byDoc("e").sortBy(_._2).map(t => (t._3, t._4)).toSeq == Seq((0L, 32L), (24L, 32L)))
+    // n=61: starts 0,24,48 — last chunk 48..61 (13 tokens); max covered = 61
+    assert(byDoc("t").sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 32L), (24L, 32L), (48L, 13L)))
+    rows.foreach { case (_, _, s, n) => assert(n >= 1L && s >= 0L) }
+    // every token index covered for the awkward-tail doc
+    val covered = byDoc("t").flatMap(t => t._3 until (t._3 + t._4)).toSet
+    assert(covered == (0L until 61L).toSet)
+  }
 }
