@@ -332,6 +332,36 @@ object PlansDump {
       "group x distinct-length dimension table only.") {
       SparkEntry.queries("q65_length_profile")(spark, dir).explain("formatted")
     }
+    section("q66 conversation integrity audit (one conv-keyed Exchange)",
+      "The lag window and the defect-count groupBy share the single conv_id " +
+      "hash partitioning — the groupBy partial-aggregates map-side after it; " +
+      "per-conversation work is bounded by that conversation's turn count.") {
+      SparkEntry.queries("q66_conv_integrity")(spark, dir).explain("formatted")
+    }
+    section("q67 deterministic global shuffle (one shard Exchange, shard-local sort)",
+      "The seed-keyed md5 permutation costs ONE hash Exchange on the shard " +
+      "id; row_number sorts only shard-local rows (corpus/nShards each). " +
+      "md5 shards are uniform by construction — no skew handling needed, and " +
+      "never a global single-partition sort.") {
+      SparkEntry.queries("q67_global_shuffle")(spark, dir).explain("formatted")
+    }
+    section("q68 hashed linear classifier (map-only scoring pass)",
+      "Hashing-trick featurize + integer linear score as a codegen'd HOF " +
+      "fold — ZERO Exchange: the canonical score-100-TB-with-a-linear-model " +
+      "pass is embarrassingly parallel.") {
+      SparkEntry.queries("q68_hash_classifier")(spark, dir).explain("formatted")
+    }
+    section("q69 context-window truncation (dual-frame window on one Exchange)",
+      "Reverse cumulative token sum (suffix fit) and partition-min (system " +
+      "turn) both ride the single conv_id Exchange; assembly is a " +
+      "conversation-bounded ordered collect.") {
+      SparkEntry.queries("q69_truncate_context")(spark, dir).explain("formatted")
+    }
+    section("q70 overlapping-window chunking (map-only explode)",
+      "sequence + posexplode + slice per document — no Exchange; chunking " +
+      "stays embarrassingly parallel at any corpus size.") {
+      SparkEntry.queries("q70_chunk_docs")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
