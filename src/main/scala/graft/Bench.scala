@@ -194,7 +194,8 @@ object Bench {
       "q60_semdedup_incremental", "q61_remove_dup_spans", "q62_bpe_pairs",
       "q63_pack_whole", "q64_strip_boiler_turns", "q65_length_profile",
       "q66_conv_integrity", "q67_global_shuffle", "q68_hash_classifier",
-      "q69_truncate_context", "q70_chunk_docs")
+      "q69_truncate_context", "q70_chunk_docs", "q71_conv_dedup",
+      "q72_agent_loops", "q73_repair_order")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

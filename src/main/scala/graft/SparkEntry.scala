@@ -1677,6 +1677,97 @@ object SparkEntry {
       |  md5(array_to_string(toks[(u.i*24 + 1):least(u.i*24 + 32, n)], ' ')) AS chunk_md5
       |FROM d, unnest(generate_series(0, nc - 1)) AS u(i)""".stripMargin
 
+  /** q71: conversation-level exact dedup. The turns fixture maps each
+    * document to a conversation whose turn texts depend only on
+    * (doc_id mod 250, turn_idx), so every fingerprint family has exactly
+    * two copies and the first-wins keeper rule exercises on every row. */
+  private def qConvDedup(spark: SparkSession, dir: String): DataFrame = {
+    val turns = t(spark, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id").as("conv_id"), pmod(col("doc_id"), lit(250L)).as("fam"))
+      .select(col("conv_id"), col("fam"),
+        explode(sequence(lit(0L), pmod(col("fam"), lit(5L)))).as("turn_idx"))
+      .select(col("conv_id"), col("turn_idx"),
+        md5(concat(col("fam"), lit(":"), col("turn_idx"))).as("text"))
+    graft.text.TranscriptOps.convExactDedup(turns, "conv_id", "turn_idx", "text")
+  }
+
+  private val oConvDedup =
+    """WITH base AS (SELECT doc_id AS conv_id, doc_id % 250 AS fam FROM documents),
+      |turns AS (SELECT conv_id, fam, g.i AS turn_idx
+      |  FROM base, unnest(generate_series(0, fam % 5)) AS g(i)),
+      |tx AS (SELECT conv_id, turn_idx,
+      |    md5(fam::VARCHAR || ':' || turn_idx::VARCHAR) AS text FROM turns),
+      |pc AS (SELECT conv_id, count(*)::BIGINT AS n_turns,
+      |    md5(string_agg(md5(text), '|' ORDER BY turn_idx)) AS conv_fp
+      |  FROM tx GROUP BY conv_id),
+      |fams AS (SELECT conv_fp, min(conv_id) AS keeper_id, count(*)::BIGINT AS n_copies
+      |  FROM pc GROUP BY conv_fp)
+      |SELECT conv_id, conv_fp, n_turns, n_copies, conv_id = keeper_id AS keep
+      |FROM pc JOIN fams USING (conv_fp)""".stripMargin
+
+  /** q72: degenerate agent-loop detection over the q66-style defective
+    * turns table, with tool names on tool turns (run identity is the
+    * (role, tool) pair). minRun=3. */
+  private def qAgentLoops(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val roleWheel = array(lit("system"), lit("user"), lit("assistant"),
+      lit("tool"), lit("user"))
+    val role = element_at(roleWheel,
+      (pmod(col("event_id") * 7L + 3L, lit(5L)) + 1L).cast("int"))
+    val turns = ev.select(
+      pmod(col("user_id"), lit(500L)).as("conv_id"),
+      pmod(col("event_id"), lit(40L)).as("turn_idx"),
+      role.as("role"),
+      when(role === "tool", concat(lit("t"), pmod(col("event_id"), lit(2L))))
+        .otherwise(lit(null)).as("tool"),
+      col("event_id"))
+    graft.text.TranscriptOps.agentLoops(
+      turns, "conv_id", "turn_idx", "role", "tool", "event_id", minRun = 3)
+  }
+
+  private val oAgentLoops =
+    """WITH turns AS (
+      |  SELECT user_id % 500 AS conv_id, event_id % 40 AS turn_idx,
+      |    (['system','user','assistant','tool','user'])[((event_id*7+3) % 5 + 1)] AS role,
+      |    event_id
+      |  FROM events),
+      |a AS (SELECT conv_id, turn_idx, event_id,
+      |    role || (CASE WHEN role = 'tool' THEN 't' || (event_id % 2)::VARCHAR
+      |             ELSE '' END) AS act FROM turns),
+      |l AS (SELECT *, CASE WHEN lag(act) OVER w IS NULL OR lag(act) OVER w <> act
+      |      THEN 1 ELSE 0 END AS newrun
+      |  FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, event_id)),
+      |r AS (SELECT *, sum(newrun) OVER (PARTITION BY conv_id
+      |      ORDER BY turn_idx, event_id ROWS UNBOUNDED PRECEDING) AS run FROM l),
+      |runs AS (SELECT conv_id, run, count(*)::BIGINT AS run_len
+      |  FROM r GROUP BY conv_id, run)
+      |SELECT conv_id, count(*)::BIGINT AS n_runs, max(run_len)::BIGINT AS max_run_len,
+      |  sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_degenerate_runs,
+      |  sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) > 0 AS is_looping
+      |FROM runs GROUP BY conv_id""".stripMargin
+
+  /** q73: turn-order repair over the q66 defective turns table — dense
+    * re-sequencing with lineage (orig_idx kept, moved flagged). */
+  private def qRepairOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val turns = ev.select(
+      pmod(col("user_id"), lit(500L)).as("conv_id"),
+      pmod(col("event_id"), lit(40L)).as("turn_idx"),
+      col("event_id"))
+    graft.text.TranscriptOps.repairTurnOrder(turns, "conv_id", "turn_idx", "event_id")
+  }
+
+  private val oRepairOrder =
+    """WITH turns AS (
+      |  SELECT user_id % 500 AS conv_id, event_id % 40 AS turn_idx, event_id
+      |  FROM events)
+      |SELECT conv_id, turn_idx AS orig_idx, event_id AS ord,
+      |  (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, event_id) - 1)::BIGINT
+      |    AS new_idx,
+      |  (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, event_id) - 1)
+      |    <> turn_idx AS moved
+      |FROM turns""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1749,7 +1840,10 @@ object SparkEntry {
     "q67_global_shuffle" -> (qGlobalShuffle _),
     "q68_hash_classifier" -> (qHashClassifier _),
     "q69_truncate_context" -> (qTruncateContext _),
-    "q70_chunk_docs" -> (qChunkDocs _))
+    "q70_chunk_docs" -> (qChunkDocs _),
+    "q71_conv_dedup" -> (qConvDedup _),
+    "q72_agent_loops" -> (qAgentLoops _),
+    "q73_repair_order" -> (qRepairOrder _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1821,7 +1915,10 @@ object SparkEntry {
     "q67_global_shuffle" -> oGlobalShuffle,
     "q68_hash_classifier" -> oHashClassifier,
     "q69_truncate_context" -> oTruncateContext,
-    "q70_chunk_docs" -> oChunkDocs)
+    "q70_chunk_docs" -> oChunkDocs,
+    "q71_conv_dedup" -> oConvDedup,
+    "q72_agent_loops" -> oAgentLoops,
+    "q73_repair_order" -> oRepairOrder)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -95,4 +95,82 @@ object TranscriptOps {
             when(col("__keep"), struct(col(idxCol).as("i"), col(textCol).as("t"))))),
           s => s("t")), "\n")).as("kept_md5"))
   }
+
+  /**
+   * Conversation-level exact dedup (q71): the transcript analog of
+   * per-document exact dedup — a conversation's fingerprint is the md5
+   * over its turn-text digests IN TURN ORDER (so the same turns in a
+   * different order are different conversations), and the lowest conv_id
+   * per fingerprint is the keeper (first-wins, deterministic).
+   *
+   * Turn digests collapse per conversation via a conversation-bounded
+   * sorted collect (same contract as [[truncateContext]]'s kept_md5);
+   * the keeper argmin is a combinable fingerprint-keyed min + join-back
+   * — a billion-copy conversation family partial-aggregates map-side,
+   * never a fingerprint window. Two keyed exchanges total (conv, fp),
+   * both on uniform md5-derived keys.
+   */
+  def convExactDedup(turns: DataFrame, convCol: String, idxCol: String,
+                     textCol: String): DataFrame = {
+    val perConv = turns.groupBy(col(convCol).as("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        md5(array_join(transform(sort_array(collect_list(
+            struct(col(idxCol).as("i"), md5(col(textCol)).as("h")))),
+          s => s("h")), "|")).as("conv_fp"))
+    val families = perConv.groupBy("conv_fp")
+      .agg(min(col("conv_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    perConv.join(families, "conv_fp")
+      .select(col("conv_id"), col("conv_fp"), col("n_turns"), col("n_copies"),
+        (col("conv_id") === col("keeper_id")).as("keep"))
+  }
+
+  /**
+   * Degenerate agent-loop detection (q72): an agent transcript stuck in
+   * a loop repeats the same (role, tool) action back-to-back — the
+   * classic failure a training-data pipeline must flag before such
+   * conversations poison the corpus. Runs are gap-islands of identical
+   * consecutive (role, coalesce(tool,'')) pairs in (turn_idx, ord)
+   * order; a run of length >= `minRun` is degenerate.
+   *
+   * Lag + cumulative run-id windows share ONE conv-keyed exchange, and
+   * both downstream groupBys — (conv, run) then conv — cluster on a
+   * superset of the conv key, so the plan keeps that single exchange
+   * end-to-end (subset-partitioning satisfies ClusteredDistribution).
+   */
+  def agentLoops(turns: DataFrame, convCol: String, idxCol: String,
+                 roleCol: String, toolCol: String, ordCol: String,
+                 minRun: Int): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol), col(ordCol))
+    val act = concat_ws("", col(roleCol), coalesce(col(toolCol), lit("")))
+    val runs = turns
+      .withColumn("__act", act)
+      .withColumn("__new", when(lag(col("__act"), 1).over(w).isNull ||
+        lag(col("__act"), 1).over(w) =!= col("__act"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(convCol).as("conv_id"), col("__run"))
+      .agg(count(lit(1)).as("run_len"), first(col("__act")).as("act"))
+    runs.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run_len"),
+        sum(when(col("run_len") >= minRun, 1L).otherwise(0L))
+          .as("n_degenerate_runs"))
+      .withColumn("is_looping", col("n_degenerate_runs") > 0L)
+  }
+
+  /**
+   * Turn-order repair (q73): the repair counterpart of [[convIntegrity]]
+   * — re-sequence each conversation's turns into a dense 0..n-1 index in
+   * (turn_idx, ord) order, so duplicated and gapped indices (upstream
+   * retries, merged shards) become a clean training-ready ordering while
+   * the original index is kept for lineage. One conv-keyed exchange.
+   */
+  def repairTurnOrder(turns: DataFrame, convCol: String, idxCol: String,
+                      ordCol: String): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("orig_idx"), col("ord"))
+    turns.select(col(convCol).as("conv_id"), col(idxCol).as("orig_idx"),
+        col(ordCol).as("ord"))
+      .withColumn("new_idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("moved", col("new_idx") =!= col("orig_idx"))
+  }
 }

@@ -1371,4 +1371,65 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val covered = byDoc("t").flatMap(t => t._3 until (t._3 + t._4)).toSet
     assert(covered == (0L until 61L).toSet)
   }
+
+  test("convExactDedup: turn ORDER is identity, lowest conv_id wins, no fp window") {
+    import spark.implicits._
+    // c1 == c3 (same turns, same order); c2 has the SAME turns reversed —
+    // a different conversation; c4 shares a prefix only
+    val turns = Seq(
+      (1L, 0L, "hello"), (1L, 1L, "world"),
+      (2L, 0L, "world"), (2L, 1L, "hello"),
+      (3L, 0L, "hello"), (3L, 1L, "world"),
+      (4L, 0L, "hello")
+    ).toDF("conv_id", "turn_idx", "text")
+    val out = graft.text.TranscriptOps.convExactDedup(turns, "conv_id", "turn_idx", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val m = out.collect().map(r => r.getAs[Long]("conv_id") ->
+      ((r.getAs[String]("conv_fp"), r.getAs[Long]("n_copies"), r.getAs[Boolean]("keep")))).toMap
+    assert(m(1L)._1 == m(3L)._1 && m(1L)._1 != m(2L)._1 && m(1L)._1 != m(4L)._1)
+    assert(m(1L)._2 == 2L && m(1L)._3 && !m(3L)._3, "first-wins keeper")
+    assert(m(2L)._3 && m(4L)._3, "singletons keep")
+  }
+
+  test("agentLoops: runs split on role OR tool change; minRun gates degeneracy") {
+    import spark.implicits._
+    // conv A: user, tool t1 x3 (degenerate), tool t2 (tool change splits
+    // the run), assistant x2 (run of 2, below minRun=3)
+    val turns = Seq(
+      ("A", 0L, "user", None, 1L), ("A", 1L, "tool", Some("t1"), 2L),
+      ("A", 2L, "tool", Some("t1"), 3L), ("A", 3L, "tool", Some("t1"), 4L),
+      ("A", 4L, "tool", Some("t2"), 5L), ("A", 5L, "assistant", None, 6L),
+      ("A", 6L, "assistant", None, 7L),
+      ("B", 0L, "user", None, 8L), ("B", 1L, "assistant", None, 9L)
+    ).toDF("conv_id", "turn_idx", "role", "tool", "ord")
+    val out = graft.text.TranscriptOps
+      .agentLoops(turns, "conv_id", "turn_idx", "role", "tool", "ord", minRun = 3)
+      .collect().map(r => r.getAs[String]("conv_id") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_runs") == 4L)            // user | t1 t1 t1 | t2 | asst asst
+    assert(a.getAs[Long]("max_run_len") == 3L)
+    assert(a.getAs[Long]("n_degenerate_runs") == 1L && a.getAs[Boolean]("is_looping"))
+    val b = out("B")
+    assert(b.getAs[Long]("n_runs") == 2L && !b.getAs[Boolean]("is_looping"))
+    // single conv-keyed exchange end-to-end: both groupBys cluster on a
+    // superset of the window's conv key
+    val plan = graft.text.TranscriptOps
+      .agentLoops(turns, "conv_id", "turn_idx", "role", "tool", "ord", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, s"one exchange expected:\n$plan")
+  }
+
+  test("repairTurnOrder densifies dup/gap indices, keeps lineage, flags moves") {
+    import spark.implicits._
+    // dup idx 1 (tie broken by ord), gap to 7
+    val turns = Seq(("c", 1L, 10L), ("c", 1L, 9L), ("c", 7L, 11L), ("c", 0L, 8L))
+      .toDF("conv_id", "turn_idx", "event_id")
+    val out = graft.text.TranscriptOps
+      .repairTurnOrder(turns, "conv_id", "turn_idx", "event_id")
+      .collect().map(r => (r.getAs[Long]("ord"),
+        r.getAs[Long]("orig_idx"), r.getAs[Long]("new_idx"), r.getAs[Boolean]("moved")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((8L, 0L, 0L, false), (9L, 1L, 1L, false),
+      (10L, 1L, 2L, true), (11L, 7L, 3L, true)))
+  }
 }
