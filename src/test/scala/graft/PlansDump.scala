@@ -362,6 +362,23 @@ object PlansDump {
       "stays embarrassingly parallel at any corpus size.") {
       SparkEntry.queries("q70_chunk_docs")(spark, dir).explain("formatted")
     }
+    section("q71 conversation exact dedup (combinable fingerprint argmin, no window)",
+      "Two keyed Exchanges (conv collapse, fingerprint family) + the " +
+      "join-back — a billion-copy conversation family partial-aggregates " +
+      "its keeper argmin map-side; no fingerprint-keyed Window anywhere.") {
+      SparkEntry.queries("q71_conv_dedup")(spark, dir).explain("formatted")
+    }
+    section("q72 agent-loop detection (one conv Exchange end-to-end)",
+      "Lag + run-id windows and BOTH downstream groupBys — (conv, run) " +
+      "then conv — cluster on a superset of the conv key, so the whole " +
+      "gap-islands chain rides a single Exchange.") {
+      SparkEntry.queries("q72_agent_loops")(spark, dir).explain("formatted")
+    }
+    section("q73 turn-order repair (one conv Exchange)",
+      "Dense re-sequencing is one row_number over the conv-keyed sort; " +
+      "per-conversation work is bounded by that conversation's turn count.") {
+      SparkEntry.queries("q73_repair_order")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
