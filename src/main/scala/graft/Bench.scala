@@ -195,7 +195,8 @@ object Bench {
       "q63_pack_whole", "q64_strip_boiler_turns", "q65_length_profile",
       "q66_conv_integrity", "q67_global_shuffle", "q68_hash_classifier",
       "q69_truncate_context", "q70_chunk_docs", "q71_conv_dedup",
-      "q72_agent_loops", "q73_repair_order")
+      "q72_agent_loops", "q73_repair_order", "q74_preference_pairs",
+      "q75_temperature_sample")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

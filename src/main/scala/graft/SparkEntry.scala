@@ -1768,6 +1768,43 @@ object SparkEntry {
       |    <> turn_idx AS moved
       |FROM turns""".stripMargin
 
+  /** q74: DPO preference-pair construction — completions grouped by a
+    * shared-prompt key (doc_id mod 100 — 5 completions per prompt at
+    * sf0.001), scored by token count, best-vs-rest pairs. */
+  private def qPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val comps = t(spark, dir, "documents").select(
+      pmod(col("doc_id"), lit(100L)).as("prompt_fp"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+    graft.text.TranscriptOps.preferencePairs(comps, "doc_id", "prompt_fp", "score")
+  }
+
+  private val oPreferencePairs =
+    """WITH c AS (SELECT doc_id % 100 AS prompt_fp, doc_id AS cid,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS score FROM documents),
+      |b AS (SELECT prompt_fp, max(score) AS chosen_score FROM c GROUP BY prompt_fp),
+      |ch AS (SELECT c.prompt_fp, min(cid) AS chosen_id, max(b.chosen_score) AS chosen_score
+      |  FROM c JOIN b ON c.prompt_fp = b.prompt_fp AND c.score = b.chosen_score
+      |  GROUP BY c.prompt_fp)
+      |SELECT c.prompt_fp, chosen_id, chosen_score, cid AS rejected_id,
+      |  score AS rejected_score, chosen_score - score AS score_gap
+      |FROM c JOIN ch ON c.prompt_fp = ch.prompt_fp WHERE cid <> chosen_id""".stripMargin
+
+  /** q75: square-root temperature source sampling (alpha=0.5), gate and
+    * rate both integer-exact across engines. */
+  private def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.sqrtTemperatureSample(
+      t(spark, dir, "documents").select("doc_id", "source"), "doc_id", "source")
+
+  private val oTemperatureSample =
+    """WITH c AS (SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY source),
+      |m AS (SELECT min(n_source) AS n_min FROM c),
+      |r AS (SELECT source, n_source,
+      |    floor(sqrt(n_min::DOUBLE / n_source::DOUBLE) * 1099511627776)::BIGINT AS gate_bound
+      |  FROM c, m)
+      |SELECT d.doc_id, d.source, r.n_source, r.gate_bound,
+      |  ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 10))::BIGINT < r.gate_bound AS keep
+      |FROM documents d JOIN r USING (source)""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1843,7 +1880,9 @@ object SparkEntry {
     "q70_chunk_docs" -> (qChunkDocs _),
     "q71_conv_dedup" -> (qConvDedup _),
     "q72_agent_loops" -> (qAgentLoops _),
-    "q73_repair_order" -> (qRepairOrder _))
+    "q73_repair_order" -> (qRepairOrder _),
+    "q74_preference_pairs" -> (qPreferencePairs _),
+    "q75_temperature_sample" -> (qTemperatureSample _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1918,7 +1957,9 @@ object SparkEntry {
     "q70_chunk_docs" -> oChunkDocs,
     "q71_conv_dedup" -> oConvDedup,
     "q72_agent_loops" -> oAgentLoops,
-    "q73_repair_order" -> oRepairOrder)
+    "q73_repair_order" -> oRepairOrder,
+    "q74_preference_pairs" -> oPreferencePairs,
+    "q75_temperature_sample" -> oTemperatureSample)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -98,6 +98,38 @@ object TextAnalysis {
     df.where(gate < bound)
   }
 
+  /**
+   * Square-root temperature sampling (q75): the multilingual/multi-source
+   * rebalancing rule (alpha = 0.5, the mBERT/XLM-R exponent) — each
+   * source keeps rate (n_min / n_source)^(1/2), so the smallest source
+   * keeps everything and larger sources are downweighted toward the
+   * sqrt of their size ratio. Membership is the same seed-free md5 gate
+   * as [[deterministicSample]], made ENGINE-EXACT despite the real-valued
+   * rate: the gate compares a 40-bit integer hash prefix against
+   * floor(rate * 2^40), and every step — double division, sqrt, scaling
+   * by a power of two, floor — is IEEE-correctly-rounded in both Spark
+   * and DuckDB, so the kept set is bit-reproducible (general-alpha `pow`
+   * is NOT cross-engine exact, which is why alpha is pinned to 1/2).
+   *
+   * Scale: per-source counts are one combinable groupBy on the
+   * dimension key; n_min broadcasts back from that source-sized table
+   * (the q55 total pattern); the gate itself is a map-side predicate.
+   */
+  def sqrtTemperatureSample(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("n_source"))
+    val nMin = counts.agg(min(col("n_source")).as("n_min"))
+    val withRate = counts.crossJoin(broadcast(nMin))
+      .withColumn("gate_bound",
+        floor(sqrt(col("n_min").cast("double") / col("n_source").cast("double"))
+          * lit(1099511627776L)).cast("long")) // 2^40
+    df.join(broadcast(withRate), col(srcCol) === col("__src"))
+      .withColumn("gate",
+        conv(substring(md5(concat(lit("mix:"), col(idCol).cast("string"))), 1, 10),
+          16, 10).cast("long"))
+      .withColumn("keep", col("gate") < col("gate_bound"))
+      .drop("__src", "n_min", "gate")
+  }
+
   /** GPT-style sequence packing: concatenate documents in stable id order
     * and chunk the token stream into fixed `packTokens` windows, letting a
     * document span pack boundaries (the concat-then-chunk pretraining

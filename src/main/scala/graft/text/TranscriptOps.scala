@@ -159,6 +159,38 @@ object TranscriptOps {
   }
 
   /**
+   * Preference-pair construction (q74): DPO/RLHF data prep — rows are
+   * candidate completions keyed by the prompt they answer (`promptCol`,
+   * typically a prefix fingerprint); within each prompt group the
+   * best-scored completion is CHOSEN (ties broken by lowest id,
+   * deterministic) and every other member pairs against it as REJECTED.
+   * Best-vs-rest emits O(group) pairs — linear in the input, unlike
+   * all-pairs ranking which is quadratic in the group.
+   *
+   * Scale shape: the chosen argmax is TWO combinable prompt-keyed
+   * aggregates (max score, then min id among max-scored members — no
+   * id negation, so any orderable id type works) and the pairing is one
+   * AQE-skew-splittable equi-join of the members against the
+   * prompt-sized chosen table. A degenerate prompt with a million
+   * completions partial-aggregates map-side and emits linear output.
+   */
+  def preferencePairs(completions: DataFrame, idCol: String, promptCol: String,
+                      scoreCol: String): DataFrame = {
+    val members = completions.select(col(promptCol).as("prompt_fp"),
+      col(idCol).as("cid"), col(scoreCol).as("score"))
+    val best = members.groupBy("prompt_fp").agg(max(col("score")).as("chosen_score"))
+    val chosen = members.join(best, "prompt_fp")
+      .where(col("score") === col("chosen_score"))
+      .groupBy("prompt_fp").agg(min(col("cid")).as("chosen_id"),
+        max(col("chosen_score")).as("chosen_score"))
+    members.join(chosen, "prompt_fp")
+      .where(col("cid") =!= col("chosen_id"))
+      .select(col("prompt_fp"), col("chosen_id"), col("chosen_score"),
+        col("cid").as("rejected_id"), col("score").as("rejected_score"),
+        (col("chosen_score") - col("score")).as("score_gap"))
+  }
+
+  /**
    * Turn-order repair (q73): the repair counterpart of [[convIntegrity]]
    * — re-sequence each conversation's turns into a dense 0..n-1 index in
    * (turn_idx, ord) order, so duplicated and gapped indices (upstream

@@ -1432,4 +1432,48 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((8L, 0L, 0L, false), (9L, 1L, 1L, false),
       (10L, 1L, 2L, true), (11L, 7L, 3L, true)))
   }
+
+  test("preferencePairs: best-vs-rest per prompt, score tie keeps lowest id, singletons drop") {
+    import spark.implicits._
+    val comps = Seq(
+      ("p1", 10L, 5L), ("p1", 11L, 9L), ("p1", 12L, 9L), // tie at 9: chosen=11
+      ("p2", 20L, 3L),                                   // singleton: no pairs
+      ("p3", 30L, 7L), ("p3", 31L, 2L)
+    ).toDF("prompt_fp", "cid", "score")
+    val out = graft.text.TranscriptOps.preferencePairs(comps, "cid", "prompt_fp", "score")
+      .collect().map(r => (r.getAs[String]("prompt_fp"), r.getAs[Long]("chosen_id"),
+        r.getAs[Long]("rejected_id"), r.getAs[Long]("score_gap"))).sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      ("p1", 11L, 10L, 4L), ("p1", 11L, 12L, 0L), // the tied loser still pairs, gap 0
+      ("p3", 30L, 31L, 5L)))
+    // no window in the plan — both argmax stages are combinable aggregates
+    val plan = graft.text.TranscriptOps.preferencePairs(comps, "cid", "prompt_fp", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("sqrtTemperatureSample: min source keeps all, rates follow sqrt(n_min/n), gate deterministic") {
+    import spark.implicits._
+    // sources sized 16 / 64 / 400: rates 1, 1/2, 1/5
+    val docs = ((0 until 16).map(i => (s"a$i", "small")) ++
+      (0 until 64).map(i => (s"b$i", "mid")) ++
+      (0 until 400).map(i => (s"c$i", "big"))).toDF("doc_id", "source")
+    val out = graft.text.TextAnalysis.sqrtTemperatureSample(docs, "doc_id", "source")
+    val rows = out.collect().map(r => (r.getAs[String]("doc_id"), r.getAs[String]("source"),
+      r.getAs[Long]("gate_bound"), r.getAs[Boolean]("keep")))
+    assert(rows.length == 480)
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc("small").forall(_._4), "rate 1.0 keeps every min-source row")
+    assert(bySrc("small").head._3 == (1L << 40))
+    assert(bySrc("mid").head._3 == math.floor(math.sqrt(0.25) * math.pow(2, 40)).toLong)
+    // kept fractions track the rates (md5 gate is uniform; loose bounds)
+    val midKept = bySrc("mid").count(_._4)
+    val bigKept = bySrc("big").count(_._4)
+    assert(midKept >= 20 && midKept <= 44, s"mid kept $midKept of 64 at rate 0.5")
+    assert(bigKept >= 50 && bigKept <= 110, s"big kept $bigKept of 400 at rate 0.2")
+    // deterministic and reshard-stable
+    val again = graft.text.TextAnalysis.sqrtTemperatureSample(docs.repartition(7),
+      "doc_id", "source").collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(rows.forall { case (id, _, _, k) => again(id) == k })
+  }
 }
