@@ -379,6 +379,18 @@ object PlansDump {
       "per-conversation work is bounded by that conversation's turn count.") {
       SparkEntry.queries("q73_repair_order")(spark, dir).explain("formatted")
     }
+    section("q74 DPO preference pairs (combinable argmax, linear best-vs-rest)",
+      "Chosen selection is two combinable prompt-keyed aggregates (max " +
+      "score, min id among the max-scored) — no Window, no id negation; " +
+      "the pairing equi-join is AQE-skew-splittable and emits O(group).") {
+      SparkEntry.queries("q74_preference_pairs")(spark, dir).explain("formatted")
+    }
+    section("q75 sqrt temperature sampling (source-sized broadcast, map-side gate)",
+      "Per-source counts are one combinable groupBy on the dimension key; " +
+      "the n_min scalar and the rate table broadcast back; the keep gate " +
+      "is a map-side integer compare — the corpus itself never shuffles.") {
+      SparkEntry.queries("q75_temperature_sample")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
