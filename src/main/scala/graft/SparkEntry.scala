@@ -1805,6 +1805,49 @@ object SparkEntry {
       |  ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 10))::BIGINT < r.gate_bound AS keep
       |FROM documents d JOIN r USING (source)""".stripMargin
 
+  /** q76: cross-source duplicate-flow matrix over manufactured family
+    * assignments (fam = doc_id mod 177 — coprime with the source wheel's
+    * 20, so families genuinely span sources and the arithmetic pair
+    * counts exercise; 180 would alias the wheel and give an empty,
+    * vacuously-green matrix; composes in production with q12/q34/q56
+    * family outputs). */
+  private def qDupFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = t(spark, dir, "documents").select(
+      pmod(col("doc_id"), lit(177L)).cast("string").as("fam"), col("source"))
+    graft.dedup.Dedup.dupFlowMatrix(assigned, "fam", "source")
+  }
+
+  private val oDupFlowMatrix =
+    """WITH asg AS (SELECT (doc_id % 177)::VARCHAR AS fp, source FROM documents),
+      |fam AS (SELECT fp, source, count(*)::BIGINT AS n FROM asg GROUP BY fp, source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  sum(a.n * b.n)::BIGINT AS n_cross_pairs,
+      |  count(*)::BIGINT AS n_shared_families
+      |FROM fam a JOIN fam b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY a.source, b.source""".stripMargin
+
+  /** q77: curriculum difficulty binning — exact per-source quartiles of
+    * the token-count difficulty proxy. */
+  private def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("score"))
+    graft.text.TextAnalysis.curriculumBuckets(scored, "doc_id", "source", "score", 4)
+  }
+
+  private val oCurriculum =
+    """WITH scored AS (SELECT doc_id, source,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS score FROM documents),
+      |vc AS (SELECT source, score, count(*)::BIGINT AS cnt
+      |  FROM scored GROUP BY source, score),
+      |dim AS (SELECT source, score,
+      |    sum(cnt) OVER (PARTITION BY source) AS total,
+      |    (sum(cnt) OVER (PARTITION BY source ORDER BY score
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) AS bef
+      |  FROM vc)
+      |SELECT s.doc_id, s.source, s.score,
+      |  ((d.bef * 4) // d.total)::BIGINT AS bucket, d.total::BIGINT AS n_group
+      |FROM scored s JOIN dim d ON s.source = d.source AND s.score = d.score""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1882,7 +1925,9 @@ object SparkEntry {
     "q72_agent_loops" -> (qAgentLoops _),
     "q73_repair_order" -> (qRepairOrder _),
     "q74_preference_pairs" -> (qPreferencePairs _),
-    "q75_temperature_sample" -> (qTemperatureSample _))
+    "q75_temperature_sample" -> (qTemperatureSample _),
+    "q76_dup_flow_matrix" -> (qDupFlowMatrix _),
+    "q77_curriculum" -> (qCurriculum _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -1959,7 +2004,9 @@ object SparkEntry {
     "q72_agent_loops" -> oAgentLoops,
     "q73_repair_order" -> oRepairOrder,
     "q74_preference_pairs" -> oPreferencePairs,
-    "q75_temperature_sample" -> oTemperatureSample)
+    "q75_temperature_sample" -> oTemperatureSample,
+    "q76_dup_flow_matrix" -> oDupFlowMatrix,
+    "q77_curriculum" -> oCurriculum)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -62,6 +62,33 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
   }
 
+  /**
+   * Cross-source duplicate-flow matrix (q76): the data-governance view
+   * of dedup — for every pair of sources, how many duplicate-document
+   * pairs and how many duplicate families they share (which crawls copy
+   * from which, where contamination between registries flows). Input is
+   * any (family, source) assignment — [[exact]]'s norm_hash, an LSH
+   * cluster id, a SemDeDup group — so the matrix composes with every
+   * dedup operator in this package.
+   *
+   * Scale shape: cross-pair counts are computed ARITHMETICALLY, never
+   * enumerated — the corpus collapses to per-(family, source) counts in
+   * one combinable groupBy; the family-keyed self-join then joins
+   * tables bounded by families x sources, and n_a * n_b counts each
+   * family's cross-source pairs without materializing them. A
+   * billion-copy family costs one row per source it appears in.
+   */
+  def dupFlowMatrix(assigned: DataFrame, famCol: String, srcCol: String): DataFrame = {
+    val fam = assigned.groupBy(col(famCol).as("fp"), col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = fam.select(col("fp"), col("source").as("source_a"), col("n").as("n_a"))
+    val b = fam.select(col("fp"), col("source").as("source_b"), col("n").as("n_b"))
+    a.join(b, "fp").where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("n_a") * col("n_b")).as("n_cross_pairs"),
+        count(lit(1)).as("n_shared_families"))
+  }
+
   /** Lowercase alnum tokens. */
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")

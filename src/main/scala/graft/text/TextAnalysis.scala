@@ -99,6 +99,37 @@ object TextAnalysis {
   }
 
   /**
+   * Curriculum difficulty binning (q77): assign every document an exact
+   * per-group quantile bucket of its difficulty score (0..nBuckets-1) —
+   * the staged-training primitive (easy-first curricula, hard-example
+   * mining, per-source difficulty mixes). Ties share the bucket of
+   * their first rank, so equal scores NEVER straddle a stage boundary
+   * and membership is deterministic under resharding.
+   *
+   * Same scale shape as [[lengthProfile]]: the corpus collapses via one
+   * combinable (group, value)-count groupBy; the cumulative window runs
+   * only over the group x distinct-value dimension table; bucket
+   * arithmetic is integer-exact (`div`, no float rank math); the
+   * join-back to per-doc rows is an equi-join on (group, value).
+   * `valCol` must be exact-equality-safe (integer/decimal, not float).
+   */
+  def curriculumBuckets(df: DataFrame, idCol: String, groupCol: String,
+                        valCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val vc = df.groupBy(col(groupCol).as("__grp"), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wTot = Window.partitionBy("__grp")
+    val wCum = Window.partitionBy("__grp").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dim = vc.withColumn("__total", sum("__cnt").over(wTot))
+      .withColumn("__before", sum("__cnt").over(wCum) - col("__cnt"))
+      .select(col("__grp"), col("__v"), col("__total").as("n_group"),
+        expr(s"(__before * $nBuckets) div __total").cast("long").as("bucket"))
+    df.join(dim, col(groupCol) === col("__grp") && col(valCol) === col("__v"))
+      .select(col(idCol), col(groupCol), col(valCol), col("bucket"), col("n_group"))
+  }
+
+  /**
    * Square-root temperature sampling (q75): the multilingual/multi-source
    * rebalancing rule (alpha = 0.5, the mBERT/XLM-R exponent) — each
    * source keeps rate (n_min / n_source)^(1/2), so the smallest source

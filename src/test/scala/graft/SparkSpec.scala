@@ -1476,4 +1476,45 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "source").collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Boolean]("keep")).toMap
     assert(rows.forall { case (id, _, _, k) => again(id) == k })
   }
+
+  test("dupFlowMatrix counts cross-source pairs arithmetically, equals enumeration") {
+    import spark.implicits._
+    // family f1: 3 copies in A, 2 in B, 1 in C; f2: 1 in A, 1 in B;
+    // f3: 2 in A only (no cross rows)
+    val assigned = (
+      Seq.fill(3)(("f1", "A")) ++ Seq.fill(2)(("f1", "B")) ++ Seq(("f1", "C")) ++
+      Seq(("f2", "A"), ("f2", "B")) ++ Seq.fill(2)(("f3", "A"))
+    ).toDF("fam", "source")
+    val out = graft.dedup.Dedup.dupFlowMatrix(assigned, "fam", "source")
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_cross_pairs"), r.getAs[Long]("n_shared_families")))).toMap
+    assert(out(("A", "B")) == ((3L * 2 + 1L * 1, 2L)))
+    assert(out(("A", "C")) == ((3L, 1L)) && out(("B", "C")) == ((2L, 1L)))
+    assert(out.size == 3, "single-source families emit nothing")
+    // brute-force enumeration agrees
+    val docs = assigned.withColumn("id", monotonically_increasing_id()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val brute = docs.flatMap(a => docs.map(b => (a, b)))
+      .filter { case (a, b) => a._1 == b._1 && a._2 < b._2 }
+      .groupBy { case (a, b) => (a._2, b._2) }.view.mapValues(_.length.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == brute)
+  }
+
+  test("curriculumBuckets: exact per-group quartiles, ties never straddle a boundary") {
+    import spark.implicits._
+    // group g: scores 1..8 -> quartiles of 2; group h: 5 copies of one
+    // score + 3 distinct -> the 5-way tie all lands in bucket 0
+    val rows = ((1 to 8).map(i => (s"g$i", "g", i.toLong)) ++
+      (1 to 5).map(i => (s"h$i", "h", 10L)) ++
+      Seq(("h6", "h", 11L), ("h7", "h", 12L), ("h8", "h", 13L)))
+      .toDF("doc_id", "source", "score")
+    val out = graft.text.TextAnalysis
+      .curriculumBuckets(rows, "doc_id", "source", "score", 4)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert((1 to 8).forall(i => out(s"g$i") == (i - 1) / 2))
+    assert((1 to 5).forall(i => out(s"h$i") == 0L), "tie block shares bucket 0")
+    assert(out("h6") == 2L && out("h7") == 3L && out("h8") == 3L)
+    // every input row gets exactly one bucket
+    assert(out.size == 16)
+  }
 }
