@@ -391,6 +391,20 @@ object PlansDump {
       "is a map-side integer compare — the corpus itself never shuffles.") {
       SparkEntry.queries("q75_temperature_sample")(spark, dir).explain("formatted")
     }
+    section("q76 duplicate-flow matrix (arithmetic pair counts, no pair enumeration)",
+      "The corpus collapses to per-(family, source) counts in one " +
+      "combinable groupBy; the family-keyed self-join touches only that " +
+      "collapsed table and n_a*n_b counts cross pairs without " +
+      "materializing them.") {
+      SparkEntry.queries("q76_dup_flow_matrix")(spark, dir).explain("formatted")
+    }
+    section("q77 curriculum quantile binning (corpus collapses before the window)",
+      "Same shape as q65: the only corpus-sized stages are the combinable " +
+      "(group, value)-count groupBy and the final equi-join-back; the " +
+      "cumulative window runs over the group x distinct-value dimension " +
+      "table; bucket arithmetic is integer div.") {
+      SparkEntry.queries("q77_curriculum")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
