@@ -1848,6 +1848,90 @@ object SparkEntry {
       |  ((d.bef * 4) // d.total)::BIGINT AS bucket, d.total::BIGINT AS n_group
       |FROM scored s JOIN dim d ON s.source = d.source AND s.score = d.score""".stripMargin
 
+  /** q78: composed end-to-end transcript-prep chain (repair → loop gate →
+    * boiler strip → budget truncation → assemble → whole-conversation
+    * packing) over the q72 defective-turns fixture extended with text:
+    * every 7th event is a shared disclaimer (boiler df across convs),
+    * the rest unique with parity-varied token counts. minRun=6: the
+    * pseudo-random role wheel makes 3-runs near-certain in long convs
+    * (minRun=3 gated out EVERY conversation — a vacuous chain), while
+    * 6-runs flag only a deterministic minority. */
+  private def qTranscriptChain(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val roleWheel = array(lit("system"), lit("user"), lit("assistant"),
+      lit("tool"), lit("user"))
+    val role = element_at(roleWheel,
+      (pmod(col("event_id") * 7L + 3L, lit(5L)) + 1L).cast("int"))
+    val text = when(pmod(col("event_id"), lit(7L)) === 0L,
+        lit("please review the standard disclaimer"))
+      .otherwise(concat(lit("msg "), col("event_id"), lit(" alpha beta"),
+        when(pmod(col("event_id"), lit(2L)) === 0L, lit(" gamma delta"))
+          .otherwise(lit(""))))
+    val turns = ev.select(
+      pmod(col("user_id"), lit(500L)).as("conv_id"),
+      pmod(col("event_id"), lit(40L)).as("turn_idx"),
+      role.as("role"),
+      when(role === "tool", concat(lit("t"), pmod(col("event_id"), lit(2L))))
+        .otherwise(lit(null)).as("tool"),
+      col("event_id"), text.as("text"))
+    graft.text.TranscriptChain.transcriptChain(turns, "conv_id", "turn_idx",
+      "role", "tool", "event_id", "text",
+      minRun = 6, minConvs = 3, budgetTokens = 12L, packTokens = 64, nShards = 8)
+  }
+
+  private val oTranscriptChain =
+    """WITH RECURSIVE turns AS (
+      |  SELECT user_id % 500 AS conv_id, event_id % 40 AS turn_idx,
+      |    (['system','user','assistant','tool','user'])[((event_id*7+3) % 5 + 1)] AS role,
+      |    event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN 'please review the standard disclaimer'
+      |         ELSE 'msg ' || event_id::VARCHAR || ' alpha beta' ||
+      |              (CASE WHEN event_id % 2 = 0 THEN ' gamma delta' ELSE '' END) END AS text
+      |  FROM events),
+      |t2 AS (SELECT *, CASE WHEN role = 'tool' THEN 't' || (event_id % 2)::VARCHAR END AS tool
+      |  FROM turns),
+      |rep AS (SELECT conv_id, role, tool, event_id AS ord, text,
+      |    (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, event_id) - 1)::BIGINT
+      |      AS new_idx
+      |  FROM t2),
+      |a AS (SELECT conv_id, new_idx, role || coalesce(tool, '') AS act FROM rep),
+      |l AS (SELECT *, CASE WHEN lag(act) OVER w IS NULL OR lag(act) OVER w <> act
+      |      THEN 1 ELSE 0 END AS newrun
+      |  FROM a WINDOW w AS (PARTITION BY conv_id ORDER BY new_idx)),
+      |r0 AS (SELECT *, sum(newrun) OVER (PARTITION BY conv_id ORDER BY new_idx
+      |      ROWS UNBOUNDED PRECEDING) AS run FROM l),
+      |bad AS (SELECT DISTINCT conv_id FROM (
+      |    SELECT conv_id, run, count(*) AS rl FROM r0 GROUP BY conv_id, run)
+      |  WHERE rl >= 6),
+      |gated AS (SELECT * FROM rep WHERE conv_id NOT IN (SELECT conv_id FROM bad)),
+      |hh AS (SELECT *, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+      |  FROM gated),
+      |nc AS (SELECT h, count(DISTINCT conv_id) AS nconv FROM hh GROUP BY h),
+      |k1 AS (SELECT hh.* FROM hh JOIN nc USING (h) WHERE nconv < 3),
+      |tk AS (SELECT *, len(string_split_regex(trim(text), '\s+'))::BIGINT AS tok FROM k1),
+      |f AS (SELECT *, sum(tok) OVER (PARTITION BY conv_id ORDER BY new_idx DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revcum,
+      |    min(new_idx) OVER (PARTITION BY conv_id) AS min_idx FROM tk),
+      |k2 AS (SELECT * FROM f WHERE new_idx = min_idx OR revcum <= 12),
+      |asm AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY new_idx) AS clean_text
+      |  FROM k2 GROUP BY conv_id),
+      |t3 AS (SELECT conv_id AS doc_id, conv_id % 8 AS shard,
+      |    len(string_split_regex(trim(clean_text), '\s+'))::BIGINT AS n FROM asm),
+      |d AS (SELECT doc_id, shard, n,
+      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk FROM t3),
+      |r AS (
+      |  SELECT doc_id, shard, n, rk, 0::BIGINT AS pack_id, 0::BIGINT AS pack_offset,
+      |         n AS fill
+      |  FROM d WHERE rk = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, d.shard, d.n, d.rk,
+      |    CASE WHEN r.fill > 0 AND r.fill + d.n > 64 THEN r.pack_id + 1 ELSE r.pack_id END,
+      |    CASE WHEN r.fill > 0 AND r.fill + d.n > 64 THEN 0::BIGINT ELSE r.fill END,
+      |    CASE WHEN r.fill > 0 AND r.fill + d.n > 64 THEN d.n ELSE r.fill + d.n END
+      |  FROM r JOIN d ON d.shard = r.shard AND d.rk = r.rk + 1)
+      |SELECT doc_id, shard, n AS n_tokens, pack_id, pack_offset, n > 64 AS oversize
+      |FROM r""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1927,7 +2011,8 @@ object SparkEntry {
     "q74_preference_pairs" -> (qPreferencePairs _),
     "q75_temperature_sample" -> (qTemperatureSample _),
     "q76_dup_flow_matrix" -> (qDupFlowMatrix _),
-    "q77_curriculum" -> (qCurriculum _))
+    "q77_curriculum" -> (qCurriculum _),
+    "q78_transcript_chain" -> (qTranscriptChain _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -2006,7 +2091,8 @@ object SparkEntry {
     "q74_preference_pairs" -> oPreferencePairs,
     "q75_temperature_sample" -> oTemperatureSample,
     "q76_dup_flow_matrix" -> oDupFlowMatrix,
-    "q77_curriculum" -> oCurriculum)
+    "q77_curriculum" -> oCurriculum,
+    "q78_transcript_chain" -> oTranscriptChain)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

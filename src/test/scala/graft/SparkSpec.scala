@@ -1517,4 +1517,35 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every input row gets exactly one bucket
     assert(out.size == 16)
   }
+
+  test("transcriptChain: loop gate, boiler strip, truncation and packing compose exactly") {
+    import spark.implicits._
+    // conv 1: 4 turns; "the disclaimer" (df=3) strips; budget 7 keeps the
+    //   first remaining turn + the 2-turn suffix -> 10 tokens
+    // conv 2: disclaimer + one real turn -> 3 tokens
+    // conv 3: an 8-turn assistant loop -> gated out (minRun 6)
+    // conv 4: disclaimer only -> fully stripped, absent from output
+    val noTool = Option.empty[String]
+    val turns = (Seq(
+      (1L, 0L, "system", noTool, 10L, "intro one two"),
+      (1L, 1L, "user", noTool, 11L, "the disclaimer"),
+      (1L, 2L, "assistant", noTool, 12L, "x1 a b c"),
+      (1L, 3L, "user", noTool, 13L, "y1 d e"),
+      (2L, 0L, "system", noTool, 20L, "the disclaimer"),
+      (2L, 1L, "user", noTool, 21L, "b1 p q"),
+      (4L, 0L, "system", noTool, 40L, "the disclaimer")) ++
+      (0 until 8).map(i => (3L, i.toLong, "assistant", noTool, 30L + i, s"loop $i")))
+      .toDF("conv_id", "turn_idx", "role", "tool", "ord", "text")
+    val out = graft.text.TranscriptChain.transcriptChain(turns,
+      "conv_id", "turn_idx", "role", "tool", "ord", "text",
+      minRun = 6, minConvs = 3, budgetTokens = 7L, packTokens = 12, nShards = 1)
+    // composition: after the two lineage cuts the final plan never re-reads
+    // the original input (the q57 no-recompute tell)
+    assert(!out.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"), r.getAs[Boolean]("oversize")))).toMap
+    assert(rows.keySet == Set(1L, 2L), "conv 3 gated, conv 4 fully stripped")
+    assert(rows(1L) == ((10L, 0L, false)), "kept turns: first + fitting suffix")
+    assert(rows(2L) == ((3L, 1L, false)), "10 + 3 > 12 opens a new pack")
+  }
 }
