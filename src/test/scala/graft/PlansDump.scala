@@ -405,6 +405,13 @@ object PlansDump {
       "table; bucket arithmetic is integer div.") {
       SparkEntry.queries("q77_curriculum")(spark, dir).explain("formatted")
     }
+    section("q78 composed transcript-prep chain (two lineage cuts, no recompute)",
+      "repair -> loop gate -> boiler strip -> truncate -> assemble -> pack " +
+      "as one query: the turns table materializes exactly twice (repaired, " +
+      "gated — each consumed by two branches); the final plan reads only " +
+      "the checkpointed RDDs, never the original scan.") {
+      SparkEntry.queries("q78_transcript_chain")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
