@@ -1932,6 +1932,29 @@ object SparkEntry {
       |SELECT doc_id, shard, n AS n_tokens, pack_id, pack_offset, n > 64 AS oversize
       |FROM r""".stripMargin
 
+  /** q79: mergeable KMV distinct-count sketch, k=16 — the 'tiny' group
+    * (10 distinct ids) exercises the exact-below-k path, the 20 real
+    * sources (~25 ids) the estimator path. */
+  private def qKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val g = when(col("doc_id") < 10L, lit("tiny")).otherwise(col("source"))
+    graft.sketch.Kmv.distinctSketch(
+      docs.select(col("doc_id"), g.as("grp")), "doc_id", "grp", k = 16)
+  }
+
+  private val oKmvSketch =
+    """WITH g AS (SELECT doc_id,
+      |    CASE WHEN doc_id < 10 THEN 'tiny' ELSE source END AS grp FROM documents),
+      |h AS (SELECT DISTINCT grp,
+      |    ('0x' || substr(md5('kmv:' || doc_id::VARCHAR), 1, 10))::BIGINT AS h FROM g),
+      |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h),
+      |s AS (SELECT grp, count(*)::BIGINT AS n_sketch, max(h) AS kth_hash
+      |  FROM r WHERE rk <= 16 GROUP BY grp)
+      |SELECT grp, n_sketch, kth_hash,
+      |  CASE WHEN n_sketch < 16 THEN n_sketch::DOUBLE
+      |       ELSE (15 * 1099511627776)::DOUBLE / kth_hash::DOUBLE END AS est_distinct
+      |FROM s""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2012,7 +2035,8 @@ object SparkEntry {
     "q75_temperature_sample" -> (qTemperatureSample _),
     "q76_dup_flow_matrix" -> (qDupFlowMatrix _),
     "q77_curriculum" -> (qCurriculum _),
-    "q78_transcript_chain" -> (qTranscriptChain _))
+    "q78_transcript_chain" -> (qTranscriptChain _),
+    "q79_kmv_sketch" -> (qKmvSketch _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -2092,7 +2116,8 @@ object SparkEntry {
     "q75_temperature_sample" -> oTemperatureSample,
     "q76_dup_flow_matrix" -> oDupFlowMatrix,
     "q77_curriculum" -> oCurriculum,
-    "q78_transcript_chain" -> oTranscriptChain)
+    "q78_transcript_chain" -> oTranscriptChain,
+    "q79_kmv_sketch" -> oKmvSketch)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

@@ -1548,4 +1548,39 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1L) == ((10L, 0L, false)), "kept turns: first + fitting suffix")
     assert(rows(2L) == ((3L, 1L, false)), "10 + 3 > 12 opens a new pack")
   }
+
+  test("KMV sketch equals brute-force k-min distinct, is merge/reshard-stable, exact below k") {
+    import spark.implicits._
+    val k = 8
+    // group "big": 200 ids (estimator path, duplicates included);
+    // group "small": 5 ids (exact path)
+    val ids = (0 until 200).map(i => (s"d$i", "big")) ++
+      (0 until 200).map(i => (s"d${i % 50}", "big")) ++ // duplicate hashes
+      (0 until 5).map(i => (s"s$i", "small"))
+    val df = ids.toDF("doc_id", "grp")
+    val out = graft.sketch.Kmv.distinctSketch(df, "doc_id", "grp", k)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_sketch"), r.getAs[Long]("kth_hash"),
+          r.getAs[Double]("est_distinct")))).toMap
+    // brute force: k smallest distinct 40-bit hashes per group
+    def h40(id: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kmv:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(10), 16)
+    }
+    val bigK = ids.filter(_._2 == "big").map(t => h40(t._1)).distinct.sorted.take(k)
+    assert(out("big")._1 == k && out("big")._2 == bigK.last)
+    assert(out("big")._3 == (k - 1).toDouble * (1L << 40) / bigK.last.toDouble)
+    // the estimate lands near the true 200 distinct (uniform hashes)
+    assert(out("big")._3 > 100 && out("big")._3 < 400, s"est=${out("big")._3}")
+    assert(out("small") == ((5L, ids.filter(_._2 == "small").map(t => h40(t._1)).max, 5.0)))
+    // merge correctness under any partitioning
+    val re = graft.sketch.Kmv.distinctSketch(df.repartition(17), "doc_id", "grp", k)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("kth_hash")).toMap
+    assert(re("big") == out("big")._2 && re("small") == out("small")._2)
+    // partial aggregation actually happens before the exchange
+    val plan = graft.sketch.Kmv.distinctSketch(df, "doc_id", "grp", k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
 }
