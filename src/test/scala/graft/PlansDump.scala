@@ -412,6 +412,15 @@ object PlansDump {
       "the checkpointed RDDs, never the original scan.") {
       SparkEntry.queries("q78_transcript_chain")(spark, dir).explain("formatted")
     }
+    section("q79 KMV distinct-count sketch (O(k) mergeable buffer, partial-aggregates map-side)",
+      "The typed Aggregator plans as ObjectHashAggregate with a partial " +
+      "phase before the group Exchange: each task reduces its rows into a " +
+      "k-bounded sorted array, so the shuffle carries per-group sketches, " +
+      "never distinct values — the mergeable-summary contract that makes " +
+      "count-distinct O(groups x k) at 100 TB instead of a " +
+      "distinct-value shuffle.") {
+      SparkEntry.queries("q79_kmv_sketch")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
