@@ -1955,6 +1955,101 @@ object SparkEntry {
       |       ELSE (15 * 1099511627776)::DOUBLE / kth_hash::DOUBLE END AS est_distinct
       |FROM s""".stripMargin
 
+  /** q80: tool-call transition matrix over the q72 defective-turns
+    * fixture (role wheel + t0/t1 tool names) — corpus-wide (from, to)
+    * action-pair counts incl. the `<start>` edge. */
+  private def qToolTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val roleWheel = array(lit("system"), lit("user"), lit("assistant"),
+      lit("tool"), lit("user"))
+    val role = element_at(roleWheel,
+      (pmod(col("event_id") * 7L + 3L, lit(5L)) + 1L).cast("int"))
+    val turns = ev.select(
+      pmod(col("user_id"), lit(500L)).as("conv_id"),
+      pmod(col("event_id"), lit(40L)).as("turn_idx"),
+      role.as("role"),
+      when(role === "tool", concat(lit("t"), pmod(col("event_id"), lit(2L))))
+        .otherwise(lit(null)).as("tool"),
+      col("event_id"))
+    graft.text.TranscriptOps.toolTransitions(
+      turns, "conv_id", "turn_idx", "role", "tool", "event_id")
+  }
+
+  private val oToolTransitions =
+    """WITH turns AS (
+      |  SELECT user_id % 500 AS conv_id, event_id % 40 AS turn_idx,
+      |    (['system','user','assistant','tool','user'])[((event_id*7+3) % 5 + 1)] AS role,
+      |    event_id
+      |  FROM events),
+      |a AS (SELECT conv_id, turn_idx, event_id,
+      |    role || (CASE WHEN role = 'tool' THEN ':t' || (event_id % 2)::VARCHAR
+      |             ELSE '' END) AS to_act FROM turns),
+      |l AS (SELECT conv_id, to_act,
+      |    coalesce(lag(to_act) OVER (PARTITION BY conv_id ORDER BY turn_idx, event_id),
+      |      '<start>') AS from_act
+      |  FROM a)
+      |SELECT from_act, to_act, count(*)::BIGINT AS n_transitions,
+      |  count(DISTINCT conv_id)::BIGINT AS n_convs
+      |FROM l GROUP BY 1, 2""".stripMargin
+
+  /** q81: deterministic global bottom-k sample — exact 100-row eval
+    * carve by md5 priority, TakeOrderedAndProject plan. */
+  private def qBottomKSample(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.bottomKSample(
+      t(spark, dir, "documents").select("doc_id"), "doc_id", seed = 11L, k = 100)
+
+  private val oBottomKSample =
+    """WITH k AS (SELECT doc_id,
+      |    md5('bksample:11:' || doc_id::VARCHAR) AS sample_key FROM documents),
+      |r AS (SELECT doc_id, sample_key,
+      |    row_number() OVER (ORDER BY sample_key, doc_id)::BIGINT AS sample_rank FROM k)
+      |SELECT doc_id, sample_key, sample_rank FROM r WHERE sample_rank <= 100""".stripMargin
+
+  /** q82: per-label exact-integer centroid similarity matrix over the
+    * embeddings table (10 labels x 64 dims; 45 pair rows). */
+  private def qCentroidSim(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Similarity.centroidSimMatrix(
+      t(spark, dir, "embeddings"), "embedding", "label")
+
+  private val oCentroidSim =
+    s"""WITH q AS (SELECT label AS grp,
+       |    [floor(x::DOUBLE * 1048576.0)::BIGINT FOR x IN embedding] AS qv FROM embeddings),
+       |d AS (SELECT grp, g.i - 1 AS dim, qv[g.i] AS v
+       |  FROM q, unnest(generate_series(1, len(qv))) AS g(i)),
+       |s AS (SELECT grp, dim, sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+       |  FROM d GROUP BY grp, dim),
+       |c AS (SELECT grp, list(s::DOUBLE ORDER BY dim) AS cv, max(n) AS n_members
+       |  FROM s GROUP BY grp)
+       |SELECT a.grp AS grp_a, b.grp AS grp_b, a.n_members AS n_a, b.n_members AS n_b,
+       |  ${cosSql("a.cv", "b.cv")} AS centroid_cos
+       |FROM c a, c b WHERE a.grp < b.grp""".stripMargin
+
+  /** q83: temperature-mixture epoch execution — sqrt-rule repeat rates
+    * (largest source = 1 epoch, smaller sources upsampled), exploded to
+    * per-copy rows with content-keyed shards. */
+  private def qEpochRepeats(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.temperatureEpochRepeats(
+      t(spark, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+      nShards = 8)
+
+  private val oEpochRepeats =
+    """WITH c AS (SELECT source, count(*)::BIGINT AS n_source FROM documents GROUP BY source),
+      |m AS (SELECT max(n_source) AS n_max FROM c),
+      |r AS (SELECT source, n_source,
+      |    sqrt(n_max::DOUBLE / n_source::DOUBLE) AS rate FROM c, m),
+      |rr AS (SELECT source, n_source, floor(rate)::BIGINT AS base_repeats,
+      |    floor((rate - floor(rate)) * 1099511627776)::BIGINT AS gate_bound FROM r),
+      |dd AS (SELECT doc_id, d.source, n_source,
+      |    base_repeats + (CASE WHEN
+      |      ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 10))::BIGINT < gate_bound
+      |      THEN 1 ELSE 0 END) AS n_repeats
+      |  FROM documents d JOIN rr USING (source))
+      |SELECT doc_id, source, n_source, n_repeats, g.i::BIGINT AS repeat_idx,
+      |  ('0x' || substr(md5('shard:' || doc_id::VARCHAR || ':' || g.i::VARCHAR), 1, 10))::BIGINT
+      |    % 8 AS shard
+      |FROM dd, unnest(generate_series(0, n_repeats - 1)) AS g(i)
+      |WHERE n_repeats > 0""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2036,7 +2131,11 @@ object SparkEntry {
     "q76_dup_flow_matrix" -> (qDupFlowMatrix _),
     "q77_curriculum" -> (qCurriculum _),
     "q78_transcript_chain" -> (qTranscriptChain _),
-    "q79_kmv_sketch" -> (qKmvSketch _))
+    "q79_kmv_sketch" -> (qKmvSketch _),
+    "q80_tool_transitions" -> (qToolTransitions _),
+    "q81_bottomk_sample" -> (qBottomKSample _),
+    "q82_centroid_sim" -> (qCentroidSim _),
+    "q83_epoch_repeats" -> (qEpochRepeats _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -2117,7 +2216,11 @@ object SparkEntry {
     "q76_dup_flow_matrix" -> oDupFlowMatrix,
     "q77_curriculum" -> oCurriculum,
     "q78_transcript_chain" -> oTranscriptChain,
-    "q79_kmv_sketch" -> oKmvSketch)
+    "q79_kmv_sketch" -> oKmvSketch,
+    "q80_tool_transitions" -> oToolTransitions,
+    "q81_bottomk_sample" -> oBottomKSample,
+    "q82_centroid_sim" -> oCentroidSim,
+    "q83_epoch_repeats" -> oEpochRepeats)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

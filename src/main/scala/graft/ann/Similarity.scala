@@ -390,4 +390,45 @@ object Similarity {
     saltedTopK(scored, "query_id", "id", Seq(desc("cosine"), asc("id")), topK)
       .select(col("query_id"), col("rank"), col("id").as("nbr_id"), col("cosine"))
   }
+
+  /**
+   * Per-group centroid similarity matrix (q82): the domain-similarity
+   * view mixture tuning needs (DSIR-flavored: how close is each source /
+   * label cluster to every other in embedding space) — one exact
+   * centroid per group, then the full group x group cosine matrix.
+   *
+   * Bit-reproducibility: floats quantize map-side to integer-valued
+   * longs (floor(x * 2^20) — floor is exact, no rounding-mode
+   * ambiguity), so the per-(group, dim) sums are EXACT integers and
+   * commutative-safe under any partial-aggregation order. Cosine is
+   * scale-invariant, so the SUM vector stands in for the mean — no
+   * division by n ever happens in float. Only the final k^2-row fold
+   * touches doubles, in fixed dim order (the q23 ordered-fold contract),
+   * so the oracle replays it bit-exactly.
+   *
+   * Scale shape: the only corpus-sized stage is the combinable
+   * (group, dim)-keyed sum — |groups| x dim keys, each partial-
+   * aggregating map-side (a group with 10^11 members never funnels raw
+   * rows through one task; its dim rows arrive pre-summed per
+   * partition). Centroid reassembly collect_list is dim-bounded per
+   * group, and the pairwise stage is a |groups|-row broadcast self-join.
+   */
+  def centroidSimMatrix(emb: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val qvec = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1048576.0)).cast("long"))
+    val sums = emb.select(col(groupCol).as("grp"), posexplode(qvec).as(Seq("dim", "qv")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+    val cents = sums.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+        t => t.getField("s").cast("double")).as("cv"),
+        max(col("n")).as("n_members"))
+    val a = cents.select(col("grp").as("grp_a"), col("cv").as("__va"),
+      col("n_members").as("n_a"))
+    val b = cents.select(col("grp").as("grp_b"), col("cv").as("__vb"),
+      col("n_members").as("n_b"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        cosine(col("__va"), col("__vb")).as("centroid_cos"))
+  }
 }

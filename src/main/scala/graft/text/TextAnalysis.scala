@@ -465,4 +465,78 @@ object TextAnalysis {
           (least(col("tok_start") + windowTokens, col("__n")) - col("tok_start")).cast("int")),
           " ")).as("chunk_md5"))
   }
+
+  /**
+   * Deterministic global bottom-k sample (q81): carve an EXACT-size
+   * sample (eval/holdout set, human-review batch, corpus preview) by
+   * taking the k rows with the smallest seed-keyed md5 priority —
+   * the fixed-size counterpart of the rate-based [[deterministicSample]]
+   * (uniform because the priority is uniform, reproducible because it is
+   * content-keyed: no RNG state, any engine re-derives the same set).
+   *
+   * Scale shape: the k smallest of 10^12 rows must NOT be a global sort.
+   * A bare `orderBy(key).limit(k)` plans as TakeOrderedAndProject — each
+   * task keeps a k-row heap, partials merge on the driver (k rows per
+   * partition at most cross the wire, never the corpus). The final dense
+   * 1..k rank is a window over the k surviving rows only (single task,
+   * k-bounded by construction — the same bounded-collect argument as the
+   * union-find edge cap). Plan shape SparkSpec-asserted.
+   */
+  def bottomKSample(df: DataFrame, idCol: String, seed: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val key = md5(concat(lit(s"bksample:$seed:"), col(idCol).cast("string")))
+    val picked = df.select(col(idCol), key.as("sample_key"))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+    picked.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("sample_key"), col(idCol))).cast("long"))
+  }
+
+  /**
+   * Temperature-mixture epoch execution (q83): the UPSAMPLING
+   * counterpart of [[sqrtTemperatureSample]] — the mBERT/XLM-R sqrt rule
+   * gives source s a repeat rate r_s = sqrt(n_max / n_s) >= 1 (the
+   * largest source runs one epoch; a 100x smaller source repeats ~10x),
+   * and this operator EXECUTES the mixture: each doc is emitted
+   * floor(r_s) times plus one more when its 40-bit content-keyed gate
+   * falls under the fractional part, so per-source expected multiplicity
+   * is exactly r_s with zero RNG state. Every emitted copy carries a
+   * dense repeat_idx and a content-keyed epoch shard, ready for
+   * [[globalShuffle]]-style placement.
+   *
+   * Membership and multiplicity are bit-reproducible across engines: the
+   * rate enters only through floor(r_s) and floor(frac * 2^40), both
+   * built from correctly-rounded IEEE ops (divide, sqrt, multiply,
+   * floor) on integer-valued doubles — no decimal formatting anywhere.
+   *
+   * Scale shape: per-source counts are ONE combinable dimension groupBy;
+   * the rate table (|sources| rows) broadcasts back; emission is a
+   * map-side sequence-explode. No corpus-keyed exchange at all — the
+   * corpus is read once and written ~sum(r_s * n_s) times, which is the
+   * output's own size.
+   */
+  def temperatureEpochRepeats(df: DataFrame, idCol: String, srcCol: String,
+                              nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val counts = df.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("n_source"))
+    val nMax = counts.agg(max(col("n_source")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .withColumn("__rate", sqrt(col("n_max").cast("double") / col("n_source").cast("double")))
+      .withColumn("base_repeats", floor(col("__rate")).cast("long"))
+      .withColumn("gate_bound",
+        floor((col("__rate") - floor(col("__rate"))) * lit(1099511627776L)).cast("long"))
+      .drop("__rate", "n_max")
+    val gate = conv(substring(md5(concat(lit("epoch:"), col(idCol).cast("string"))), 1, 10),
+      16, 10).cast("long")
+    df.join(broadcast(rates), col(srcCol) === col("__src"))
+      .withColumn("n_repeats",
+        col("base_repeats") + when(gate < col("gate_bound"), 1L).otherwise(0L))
+      .where(col("n_repeats") > 0L)
+      .select(col(idCol), col(srcCol), col("n_source"), col("n_repeats"),
+        explode(sequence(lit(0L), col("n_repeats") - 1L)).as("repeat_idx"))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("shard:"), col(idCol).cast("string"),
+          lit(":"), col("repeat_idx").cast("string"))), 1, 10), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+  }
 }

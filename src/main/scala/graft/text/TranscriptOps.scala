@@ -205,4 +205,41 @@ object TranscriptOps {
       .withColumn("new_idx", (row_number().over(w) - 1).cast("long"))
       .withColumn("moved", col("new_idx") =!= col("orig_idx"))
   }
+
+  /**
+   * Tool-call transition matrix (q80): the agent-behavior profile a
+   * transcript pipeline reports before deciding curriculum weights —
+   * for every ordered pair of consecutive ACTIONS (role, plus the tool
+   * name on tool turns) count how many transitions occur corpus-wide
+   * and how many distinct conversations exhibit the pair. The
+   * conversation-start edge is kept as an explicit `<start>` source so
+   * opening-action mix is part of the same matrix.
+   *
+   * Scale shape: ONE conv-keyed exchange for the lag window (per-
+   * conversation cost bounded by that conversation's own turn count),
+   * then a combinable groupBy on the (from, to) pair — count
+   * partial-aggregates map-side and the distinct-conversation count
+   * collapses through a per-(pair, conv) pre-aggregate, so a pair that
+   * appears in every conversation of a 10^12-turn corpus never funnels
+   * raw turn rows through one task. The transition-pair key space is
+   * (roles x tools)^2 — a dimension table, orders of magnitude smaller
+   * than the corpus.
+   */
+  def toolTransitions(turns: DataFrame, convCol: String, idxCol: String,
+                      roleCol: String, toolCol: String, ordCol: String): DataFrame = {
+    val act = concat(col(roleCol),
+      when(col(toolCol).isNull || col(toolCol) === "", lit(""))
+        .otherwise(concat(lit(":"), col(toolCol))))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("idx"), col("ord"))
+    val edges = turns
+      .select(col(convCol).as("conv_id"), col(idxCol).as("idx"),
+        col(ordCol).as("ord"), act.as("to_act"))
+      .withColumn("from_act", coalesce(lag(col("to_act"), 1).over(w), lit("<start>")))
+    // per-(pair, conv) collapse first: distinct-conv arrives at the pair
+    // key pre-counted, both aggregates fully combinable.
+    edges.groupBy(col("from_act"), col("to_act"), col("conv_id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("from_act"), col("to_act"))
+      .agg(sum(col("__n")).as("n_transitions"), count(lit(1)).as("n_convs"))
+  }
 }

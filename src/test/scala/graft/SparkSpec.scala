@@ -1583,4 +1583,108 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
   }
+
+  test("toolTransitions: start edge, tool-qualified actions, per-conv distinct counts") {
+    import spark.implicits._
+    // conv a: user -> assistant -> tool:t1 -> assistant
+    // conv b: user -> tool:t1; conv c: user -> assistant
+    val noTool = Option.empty[String]
+    val turns = Seq(
+      ("a", 0L, "user", noTool, 1L), ("a", 1L, "assistant", noTool, 2L),
+      ("a", 2L, "tool", Some("t1"), 3L), ("a", 3L, "assistant", noTool, 4L),
+      ("b", 0L, "user", noTool, 5L), ("b", 1L, "tool", Some("t1"), 6L),
+      ("c", 0L, "user", noTool, 7L), ("c", 1L, "assistant", noTool, 8L))
+      .toDF("conv_id", "turn_idx", "role", "tool", "ord")
+    val out = graft.text.TranscriptOps
+      .toolTransitions(turns, "conv_id", "turn_idx", "role", "tool", "ord")
+      .collect().map(r => (r.getAs[String]("from_act"), r.getAs[String]("to_act")) ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Long]("n_convs")))).toMap
+    assert(out(("<start>", "user")) == ((3L, 3L)))
+    assert(out(("user", "assistant")) == ((2L, 2L)))
+    assert(out(("user", "tool:t1")) == ((1L, 1L)))
+    assert(out(("assistant", "tool:t1")) == ((1L, 1L)))
+    assert(out(("tool:t1", "assistant")) == ((1L, 1L)))
+    assert(out.size == 5)
+  }
+
+  test("bottomKSample: exact k-set equals brute-force md5 order, heap plan not global sort") {
+    import spark.implicits._
+    val ids = (0 until 60).map(i => s"doc-$i")
+    val df = ids.toDF("doc_id")
+    val q = graft.text.TextAnalysis.bottomKSample(df, "doc_id", seed = 11L, k = 10)
+    def key(id: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bksample:11:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = ids.map(id => (key(id), id)).sorted.take(10)
+    val got = q.collect().sortBy(_.getAs[Long]("sample_rank"))
+      .map(r => (r.getAs[String]("sample_key"), r.getAs[String]("doc_id")))
+    assert(got.toSeq == expect)
+    // k rows per partition at most cross the wire: heap-based top-k, no global sort
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // reshard-stable
+    val re = graft.text.TextAnalysis.bottomKSample(df.repartition(13), "doc_id", 11L, 10)
+      .collect().map(r => (r.getAs[Long]("sample_rank"), r.getAs[String]("doc_id"))).sorted
+    assert(re.toSeq == got.zipWithIndex.map { case ((_, id), i) => (i + 1L, id) }.sorted.toSeq)
+  }
+
+  test("centroidSimMatrix: exact integer centroids, ordered-fold cosine, reshard-stable") {
+    import spark.implicits._
+    // exact binary fractions -> floor(x * 2^20) is exact
+    val rows = Seq(
+      ("g1", Seq(1.0f, 0.0f)), ("g1", Seq(0.5f, 0.5f)),
+      ("g2", Seq(0.0f, 1.0f)), ("g3", Seq(0.25f, 0.75f)))
+      .toDF("label", "embedding")
+    val out = graft.ann.Similarity.centroidSimMatrix(rows, "embedding", "label")
+      .collect().map(r => (r.getAs[String]("grp_a"), r.getAs[String]("grp_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("centroid_cos")))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      dot / (math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x)) *
+        math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x)))
+    }
+    val g1 = Seq(1572864.0, 524288.0); val g2 = Seq(0.0, 1048576.0)
+    val g3 = Seq(262144.0, 786432.0)
+    assert(out(("g1", "g2")) == ((2L, 1L, cos(g1, g2))))
+    assert(out(("g1", "g3")) == ((2L, 1L, cos(g1, g3))))
+    assert(out(("g2", "g3")) == ((1L, 1L, cos(g2, g3))))
+    assert(out.size == 3, "upper triangle only")
+    val re = graft.ann.Similarity.centroidSimMatrix(rows.repartition(7), "embedding", "label")
+      .collect().map(r => (r.getAs[String]("grp_a"), r.getAs[String]("grp_b")) ->
+        r.getAs[Double]("centroid_cos")).toMap
+    assert(re == out.view.mapValues(_._3).toMap, "bit-exact under any partitioning")
+  }
+
+  test("temperatureEpochRepeats: sqrt-rule multiplicity, exact integer rates, md5 gate") {
+    import spark.implicits._
+    // A: 8 docs (rate 1.0 -> exactly 1 copy), B: 2 docs (rate 2.0 -> exactly 2),
+    // C: absent. Then a fractional fixture: A=9, C=4 -> rate 1.5.
+    val df1 = ((0 until 8).map(i => (s"a$i", "A")) ++ Seq(("b0", "B"), ("b1", "B")))
+      .toDF("doc_id", "source")
+    val out1 = graft.text.TextAnalysis
+      .temperatureEpochRepeats(df1, "doc_id", "source", nShards = 8)
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("repeat_idx")))
+    val m1 = out1.groupBy(_._1).view.mapValues(_.length).toMap
+    assert((0 until 8).forall(i => m1(s"a$i") == 1))
+    assert(m1("b0") == 2 && m1("b1") == 2)
+    assert(out1.filter(_._1 == "b0").map(_._2).sorted.toSeq == Seq(0L, 1L), "dense repeat_idx")
+    // fractional: rate sqrt(9/4) = 1.5 -> base 1, 40-bit gate at 0.5 * 2^40
+    def h40(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10), 16)
+    val df2 = ((0 until 9).map(i => (s"a$i", "A")) ++ (0 until 4).map(i => (s"c$i", "C")))
+      .toDF("doc_id", "source")
+    val out2 = graft.text.TextAnalysis
+      .temperatureEpochRepeats(df2, "doc_id", "source", nShards = 8)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        (r.getAs[Long]("n_repeats"), r.getAs[Long]("repeat_idx"), r.getAs[Long]("shard"))))
+    val gateBound = math.floor(0.5 * 1099511627776.0).toLong
+    (0 until 4).foreach { i =>
+      val want = 1L + (if (h40(s"epoch:c$i") < gateBound) 1L else 0L)
+      val got = out2.filter(_._1 == s"c$i")
+      assert(got.length.toLong == want && got.forall(_._2._1 == want), s"c$i")
+    }
+    // shard is the content-keyed 40-bit hash mod nShards
+    out2.foreach { case (id, (_, idx, shard)) =>
+      assert(shard == java.lang.Math.floorMod(h40(s"shard:$id:$idx"), 8L), s"$id:$idx") }
+  }
 }
