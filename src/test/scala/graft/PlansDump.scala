@@ -421,6 +421,38 @@ object PlansDump {
       "distinct-value shuffle.") {
       SparkEntry.queries("q79_kmv_sketch")(spark, dir).explain("formatted")
     }
+    section("q80 tool-call transition matrix (one conv exchange, pre-counted distinct)",
+      "ONE conv-keyed exchange feeds the lag window; the (from, to) " +
+      "matrix is a combinable groupBy whose distinct-conversation count " +
+      "arrives pre-collapsed through a per-(pair, conv) aggregate — a " +
+      "pair present in every conversation never funnels raw turn rows " +
+      "through one task; the pair key space is a dimension table.") {
+      SparkEntry.queries("q80_tool_transitions")(spark, dir).explain("formatted")
+    }
+    section("q81 exact bottom-k sample (TakeOrderedAndProject, never a global sort)",
+      "orderBy(key).limit(k) plans as a per-task k-row heap merged on " +
+      "the driver — at most k rows per partition cross the wire; the " +
+      "dense 1..k rank window runs over the k survivors only " +
+      "(k-bounded single task by construction).") {
+      SparkEntry.queries("q81_bottomk_sample")(spark, dir).explain("formatted")
+    }
+    section("q82 centroid similarity matrix (integer-exact sums, group-dim keys only)",
+      "Floats quantize map-side to floor(x*2^20) longs, so the only " +
+      "corpus-sized stage — the (group, dim)-keyed sum — is an exact " +
+      "integer combinable aggregate; centroid reassembly is dim-bounded " +
+      "per group and the pairwise stage is a |groups|-row broadcast " +
+      "self-join. Cosine is scale-invariant so the SUM vector stands in " +
+      "for the mean with no float division before the final fold.") {
+      SparkEntry.queries("q82_centroid_sim")(spark, dir).explain("formatted")
+    }
+    section("q83 temperature-mixture epoch execution (dimension broadcast, map-side explode)",
+      "Per-source counts are ONE combinable dimension groupBy; the " +
+      "sqrt-rule rate table broadcasts back; emission is a map-side " +
+      "sequence explode gated by a 40-bit content-keyed hash — the " +
+      "corpus never crosses a keyed exchange, it is read once and " +
+      "written ~sum(r_s * n_s) times, the output's own size.") {
+      SparkEntry.queries("q83_epoch_repeats")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
