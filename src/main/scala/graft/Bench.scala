@@ -196,7 +196,10 @@ object Bench {
       "q66_conv_integrity", "q67_global_shuffle", "q68_hash_classifier",
       "q69_truncate_context", "q70_chunk_docs", "q71_conv_dedup",
       "q72_agent_loops", "q73_repair_order", "q74_preference_pairs",
-      "q75_temperature_sample", "q76_dup_flow_matrix", "q77_curriculum", "q78_transcript_chain", "q79_kmv_sketch")
+      "q75_temperature_sample", "q76_dup_flow_matrix", "q77_curriculum",
+      "q78_transcript_chain", "q79_kmv_sketch", "q80_tool_transitions",
+      "q81_bottomk_sample", "q82_centroid_sim", "q83_epoch_repeats",
+      "q84_bottomk_per_group", "q85_oov_audit")
     val all = SparkEntry.queries
     // warmup: run every benched query once against the smallest sf dir —
     // same plans, so codegen + JIT are hot and first-query JVM warmup is

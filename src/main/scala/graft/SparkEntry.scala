@@ -2050,6 +2050,45 @@ object SparkEntry {
       |FROM dd, unnest(generate_series(0, n_repeats - 1)) AS g(i)
       |WHERE n_repeats > 0""".stripMargin
 
+  /** q84: per-group exact bottom-k — fixed 25-doc carve per source
+    * (salted two-level reduction, no single-task group sort). */
+  private def qBottomKPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.bottomKPerGroup(
+      t(spark, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+      seed = 7L, k = 25)
+
+  private val oBottomKPerGroup =
+    """WITH kk AS (SELECT source, doc_id,
+      |    md5('bkgroup:7:' || doc_id::VARCHAR) AS sample_key FROM documents),
+      |r AS (SELECT source, doc_id, sample_key,
+      |    row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id)::BIGINT AS sample_rank
+      |  FROM kk)
+      |SELECT source, doc_id, sample_key, sample_rank FROM r WHERE sample_rank <= 25""".stripMargin
+
+  /** q85: per-doc vocabulary-coverage (OOV) audit against the q54 top-50
+    * vocabulary artifact. */
+  private def qOovAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.text.CorpusAnalysis.oovAudit(docs, "doc_id", "text",
+      graft.text.CorpusAnalysis.vocabTopK(docs, "text", 50))
+  }
+
+  private val oOovAudit =
+    """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |vc AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+      |top AS (SELECT term FROM vc ORDER BY n DESC, term LIMIT 50),
+      |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+      |  FROM documents),
+      |agg AS (SELECT dt.doc_id, count(*)::BIGINT AS n_tokens,
+      |    sum(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      |  FROM dt LEFT JOIN top ON dt.term = top.term GROUP BY 1)
+      |SELECT d.doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+      |  coalesce(agg.n_oov, 0)::BIGINT AS n_oov,
+      |  CASE WHEN coalesce(agg.n_tokens, 0) > 0
+      |    THEN coalesce(agg.n_oov, 0)::DOUBLE / agg.n_tokens::DOUBLE END AS oov_rate
+      |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2135,7 +2174,9 @@ object SparkEntry {
     "q80_tool_transitions" -> (qToolTransitions _),
     "q81_bottomk_sample" -> (qBottomKSample _),
     "q82_centroid_sim" -> (qCentroidSim _),
-    "q83_epoch_repeats" -> (qEpochRepeats _))
+    "q83_epoch_repeats" -> (qEpochRepeats _),
+    "q84_bottomk_per_group" -> (qBottomKPerGroup _),
+    "q85_oov_audit" -> (qOovAudit _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_text_metrics" -> oTextMetrics,
@@ -2220,7 +2261,9 @@ object SparkEntry {
     "q80_tool_transitions" -> oToolTransitions,
     "q81_bottomk_sample" -> oBottomKSample,
     "q82_centroid_sim" -> oCentroidSim,
-    "q83_epoch_repeats" -> oEpochRepeats)
+    "q83_epoch_repeats" -> oEpochRepeats,
+    "q84_bottomk_per_group" -> oBottomKPerGroup,
+    "q85_oov_audit" -> oOovAudit)
 
   /** n-gram jaccard oracle: shingles built identically (token 3-grams over
     * lowercase alnum tokens, distinct). */

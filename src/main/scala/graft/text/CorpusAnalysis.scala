@@ -224,6 +224,36 @@ object CorpusAnalysis {
   }
 
   /**
+   * Vocabulary coverage / OOV audit (q85): given a vocabulary artifact
+   * (e.g. [[vocabTopK]]'s output, or a tokenizer's term table), report
+   * per-document token count, out-of-vocabulary token count and OOV
+   * rate — the pre-training audit that decides whether a tokenizer's
+   * vocabulary actually covers the corpus it is about to encode
+   * (per-source OOV mass is one further groupBy on this output).
+   *
+   * Scale shape: ONE corpus pass — tokens explode map-side
+   * (explode_outer so empty documents keep their row), vocabulary
+   * membership is a broadcast hash LEFT join (the vocab is K rows), and
+   * both counters collapse through a single doc-keyed combinable
+   * groupBy whose per-doc row count is bounded by that document's own
+   * token count. No join-back, no second corpus scan. oov_rate is a
+   * single division (null for token-less docs), so engines agree
+   * bit-for-bit.
+   */
+  def oovAudit(df: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("term"))
+    toks.join(broadcast(vocab.select(col("term")).withColumn("__in", lit(1))),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("term")).as("n_tokens"),
+        sum(when(col("term").isNotNull && col("__in").isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate", when(col("n_tokens") > 0L,
+        col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  /**
    * First BPE merge statistic — the inner loop of byte-pair-encoding
    * tokenizer training (Sennrich et al. 2016, arXiv:1508.07909): count
    * adjacent character pairs across the corpus and rank the top-K merge

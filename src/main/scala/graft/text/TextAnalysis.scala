@@ -493,6 +493,38 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group exact bottom-k sample (q84): a fixed-size carve PER STRATUM
+   * (e.g. "25 docs per source for human review") — the per-group analog
+   * of [[bottomKSample]] and the fixed-size counterpart of the rate-based
+   * [[stratifiedSample]]. Groups smaller than k are kept whole; the
+   * priority is the same content-keyed md5, so membership is
+   * engine-independent and reshard-stable.
+   *
+   * Scale shape: a bare per-group rank window would sort EVERY row of a
+   * group in one task — a 10^11-doc source is a straggler. Instead the
+   * salted two-level reduction (the q24 pattern): top-k within
+   * (group, salt) buckets — parallel across saltBuckets tasks — then
+   * top-k of the survivors (group x saltBuckets x k rows). Identical
+   * output to the single window (the k smallest of a union of bucket
+   * k-smallest is the global k smallest); the second window touches only
+   * the k*saltBuckets survivors per group.
+   */
+  def bottomKPerGroup(df: DataFrame, idCol: String, grpCol: String, seed: Long,
+                      k: Int, saltBuckets: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val key = md5(concat(lit(s"bkgroup:$seed:"), col(idCol).cast("string")))
+    val ord = Seq(col("sample_key").asc, col(idCol).asc)
+    val w1 = Window.partitionBy(col(grpCol), col("__salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col(grpCol)).orderBy(ord: _*)
+    df.select(col(grpCol), col(idCol), key.as("sample_key"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(saltBuckets)))
+      .withColumn("__r1", row_number().over(w1)).where(col("__r1") <= k)
+      .withColumn("sample_rank", row_number().over(w2).cast("long"))
+      .where(col("sample_rank") <= k)
+      .drop("__salt", "__r1")
+  }
+
+  /**
    * Temperature-mixture epoch execution (q83): the UPSAMPLING
    * counterpart of [[sqrtTemperatureSample]] — the mBERT/XLM-R sqrt rule
    * gives source s a repeat rate r_s = sqrt(n_max / n_s) >= 1 (the

@@ -1687,4 +1687,52 @@ class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     out2.foreach { case (id, (_, idx, shard)) =>
       assert(shard == java.lang.Math.floorMod(h40(s"shard:$id:$idx"), 8L), s"$id:$idx") }
   }
+
+  test("bottomKPerGroup: salted two-level equals per-group brute force, small groups whole") {
+    import spark.implicits._
+    // group A: 40 docs (k=5 cuts), group B: 3 docs (< k, kept whole)
+    val ids = (0 until 40).map(i => (s"a$i", "A")) ++ (0 until 3).map(i => (s"b$i", "B"))
+    val df = ids.toDF("doc_id", "source")
+    val out = graft.text.TextAnalysis
+      .bottomKPerGroup(df, "doc_id", "source", seed = 7L, k = 5, saltBuckets = 8)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("sample_rank")) ->
+        r.getAs[String]("doc_id")).toMap
+    def key(id: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bkgroup:7:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantA = ids.filter(_._2 == "A").map(t => (key(t._1), t._1)).sorted.take(5)
+    val wantB = ids.filter(_._2 == "B").map(t => (key(t._1), t._1)).sorted
+    wantA.zipWithIndex.foreach { case ((_, id), i) => assert(out(("A", i + 1L)) == id) }
+    wantB.zipWithIndex.foreach { case ((_, id), i) => assert(out(("B", i + 1L)) == id) }
+    assert(out.size == 8, "5 from A + all 3 of B")
+    // reshard-stable
+    val re = graft.text.TextAnalysis
+      .bottomKPerGroup(df.repartition(11), "doc_id", "source", 7L, 5, saltBuckets = 8)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("sample_rank")) ->
+        r.getAs[String]("doc_id")).toMap
+    assert(re == out)
+  }
+
+  test("oovAudit: exact per-doc OOV counts, empty docs kept, single corpus pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // in-vocab: the(2), cat, on
+      (2L, "zzz qqq"),                  // all OOV
+      (3L, ""),                         // token-less: null rate
+      (4L, "the the the")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "on").toDF("term")
+    val out = graft.text.CorpusAnalysis.oovAudit(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          Option(r.get(r.fieldIndex("oov_rate")))))).toMap
+    assert(out(1L) == ((6L, 2L, Some(2.0 / 6.0))), "sat + mat are OOV")
+    assert(out(2L) == ((2L, 2L, Some(1.0))))
+    assert(out(3L) == ((0L, 0L, None)), "empty doc keeps its row, null rate")
+    assert(out(4L) == ((3L, 0L, Some(0.0))))
+    // one corpus pass: exactly one scan of the input relation in the plan
+    val q = graft.text.CorpusAnalysis.oovAudit(docs, "doc_id", "text", vocab)
+    val scans = "LocalTableScan".r.findAllIn(q.queryExecution.executedPlan.toString).length
+    assert(scans == 2, s"one docs scan + one vocab scan, got $scans") // docs + vocab
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
