@@ -453,6 +453,22 @@ object PlansDump {
       "written ~sum(r_s * n_s) times, the output's own size.") {
       SparkEntry.queries("q83_epoch_repeats")(spark, dir).explain("formatted")
     }
+    section("q84 per-group bottom-k carve (salted two-level, no single-task group sort)",
+      "Top-k within (group, salt) buckets runs parallel across 64 tasks " +
+      "per group; the global per-group rank window touches only the " +
+      "k x saltBuckets survivors — identical output to a single window " +
+      "(k smallest of a union of bucket k-smallest), but a 10^11-doc " +
+      "source never sorts in one task.") {
+      SparkEntry.queries("q84_bottomk_per_group")(spark, dir).explain("formatted")
+    }
+    section("q85 vocabulary OOV audit (one corpus pass, broadcast vocab membership)",
+      "Tokens explode map-side (explode_outer keeps token-less docs), " +
+      "vocabulary membership is a BroadcastHashJoin against the K-row " +
+      "artifact, and both counters collapse through ONE doc-keyed " +
+      "combinable groupBy — no join-back, no second corpus scan; the " +
+      "rate is a single division so engines agree bit-for-bit.") {
+      SparkEntry.queries("q85_oov_audit")(spark, dir).explain("formatted")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
