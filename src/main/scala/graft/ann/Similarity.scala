@@ -25,10 +25,19 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Cosine between two array<double> columns via codegen'd HOFs.
-    * Fold order is the array order with a 0.0 init — the SQL oracle
-    * replicates the exact accumulation order for bit-equality. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine between two array<double> columns — a native codegen
+    * expression ([[graft.expr.CosineSim]]) computing the exact ordered
+    * fold the SQL oracle replicates (products summed left-to-right from
+    * 0.0, sqrt of the ordered square sums, dot/(na*nb)). The previous
+    * HOF formulation ([[cosineHof]], kept as the differential reference)
+    * computed the same values but interpreted, with one lambda dispatch
+    * per element and 4 array passes per pair. */
+  def cosine(a: Column, b: Column): Column = graft.expr.vecops.cosine_sim(a, b)
+
+  /** The declarative (pure-HOF) cosine — identical math to [[cosine]];
+    * kept as the differential reference for SparkSpec's
+    * expression-equivalence test. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
@@ -79,8 +88,17 @@ object Similarity {
         Long.MaxValue.toDouble
     }
 
-  /** Sign-LSH bucket id from literal hyperplanes (bit per plane). */
+  /** Sign-LSH bucket id (bit per plane) — a native codegen expression
+    * ([[graft.expr.SignLshBucket]]); the hyperplanes ride in the
+    * expression's references array instead of nPlanes x dim array
+    * literals in the plan. Same per-plane ordered-fold dot and `>= 0`
+    * sign as the HOF formulation ([[lshBucketHof]], the differential
+    * reference). */
   def lshBucket(vecCol: Column, weights: Array[Array[Double]]): Column =
+    graft.expr.vecops.sign_bucket(vecCol, weights)
+
+  /** The declarative (pure-HOF) bucket id — differential reference. */
+  private[graft] def lshBucketHof(vecCol: Column, weights: Array[Array[Double]]): Column =
     weights.zipWithIndex.map { case (w, p) =>
       val wLit = array(w.map(lit(_)): _*)
       val dot = aggregate(zip_with(vecCol, wLit, (x, y) => x * y), lit(0.0), _ + _)
@@ -134,13 +152,20 @@ object Similarity {
   private def centroidArray(cents: DataFrame): DataFrame =
     cents.agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("__cl"))
 
-  /** Fold argmax over a centroid-array COLUMN: all k cosines in one
-    * projection, best (max cosine, ties -> lowest cid) picked by a fold
-    * in cid-ascending order — the exact accumulation order the SQL oracle
-    * replicates with list_reduce. */
-  private def nearestCid(vecCol: Column, clCol: Column): Column = {
+  /** Fold argmax over a centroid-array COLUMN: best (max cosine, ties ->
+    * first in cid-ascending order) — a native codegen expression
+    * ([[graft.expr.NearestCentroid]]) computing the exact fold the SQL
+    * oracle replicates with list_reduce (init cos=-2.0/cid=-1, strict
+    * SQL-ordering `>`), with the stream vector's norm computed once
+    * instead of once per centroid. [[nearestCidHof]] is the differential
+    * reference. */
+  private def nearestCid(vecCol: Column, clCol: Column): Column =
+    graft.expr.vecops.nearest_cid(vecCol, clCol)
+
+  /** The declarative (pure-HOF) argmax — differential reference. */
+  private[graft] def nearestCidHof(vecCol: Column, clCol: Column): Column = {
     val scored = transform(clCol,
-      ct => struct(cosine(vecCol, ct.getField("c")).as("cos"), ct.getField("cid").as("cid")))
+      ct => struct(cosineHof(vecCol, ct.getField("c")).as("cos"), ct.getField("cid").as("cid")))
     aggregate(scored, struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
       (acc, s) => when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
       .getField("cid")

@@ -14,6 +14,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The ANSI DIVIDE_BY_ZERO error `Divide` throws — bridged because
+    * QueryExecutionErrors is private[sql]; used by graft.expr.VecCore to
+    * replicate the HOF cosine's divisor semantics exactly. */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
+
   /** Drain the async listener bus so QueryExecutionListener callbacks
     * (graft.skew.CapMetrics) have fired before metrics are read —
     * `listenerBus` is private[spark], hence bridged here. */
