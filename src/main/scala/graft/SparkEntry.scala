@@ -261,7 +261,7 @@ object SparkEntry {
     val cands = candidateProducts.toDF("cand_id", "cand_name")
     val parts = t(spark, dir, "part").select("p_partkey", "p_name")
     def blockKeys(c: Column): Column = {
-      val toks = filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+      val toks = graft.expr.textops.tokens_of(c)
       val grams = flatten(transform(toks, tok =>
         transform(sequence(lit(1), greatest(length(tok) - 2, lit(1))),
           i => tok.substr(i, lit(3)))))

@@ -89,18 +89,32 @@ object Dedup {
         count(lit(1)).as("n_shared_families"))
   }
 
-  /** Lowercase alnum tokens. */
-  def tokens(textCol: Column): Column =
+  /** Lowercase alnum tokens — native single-pass expression
+    * (graft.expr.TokensExpr; `lower` stays a Catalyst child). The HOF
+    * formulation ([[tokensHof]], the differential reference) recompiled
+    * the split regex and ran the empty-filter lambda interpreted per row.
+    */
+  def tokens(textCol: Column): Column = graft.expr.textops.tokens_of(textCol)
+
+  /** The declarative (pure-HOF) tokenizer — differential reference. */
+  private[graft] def tokensHof(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")
 
   /** Word k-shingles as strings ("a b c"); fewer than k tokens -> empty.
+    * Native single-pass expression (graft.expr.ShinglesExpr): same
+    * String.split token stream, same space-joined grams, same
+    * first-occurrence array_distinct order as [[shinglesHof]]. */
+  def shingles(textCol: Column, k: Int): Column =
+    graft.expr.textops.shingles_of(textCol, k)
+
+  /** The declarative (pure-HOF) shingler — differential reference.
     *
     * Built with arrays_zip over k shifted slices, NOT transform over an
     * index sequence: a lambda body re-evaluates every non-lambda
     * subexpression per element, which would make shingling O(tokens^2);
     * zip arguments are evaluated once. */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = tokens(textCol)
+  private[graft] def shinglesHof(textCol: Column, k: Int): Column = {
+    val toks = tokensHof(textCol)
     val n = size(toks)
     val zipped = arrays_zip((0 until k).map(j => slice(toks, lit(j + 1), n - (k - 1))): _*)
     val joined = transform(zipped,
@@ -156,11 +170,15 @@ object Dedup {
     * [[dupSpans]] (coverage stats) and [[removeDupSpans]] (text surgery). */
   private def dupSpanIslands(df: DataFrame, idCol: String, textCol: String,
                              k: Int, minCount: Int, site: String): DataFrame = {
+    // positional gram HASHES in one native pass (graft.expr.GramHashes):
+    // the gram strings are never materialized as rows — each row explodes
+    // straight to (pos, 60-bit md5), the only columns the count/semi-join
+    // pipeline reads. [[positionalGrams]] + md5Hash60 is the differential
+    // reference formulation.
     val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        posexplode(positionalGrams(col("tk"), k)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
-        md5Hash60(col("sh")).as("h"))
+        posexplode(graft.expr.textops.gram_hashes(col("tk"), k)).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"), col("h"))
     val dup = graft.skew.KeyCaps.keepKeysWithCountAtLeast(base, Seq("h"), minCount, site = site)
       .select("doc_id", "n_tokens", "pos")
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
@@ -774,22 +792,30 @@ object Dedup {
    */
   private[graft] def dedupClustersWithRounds(pairs: DataFrame, maxRounds: Int = 50,
                                              driverCap: Long = 2000000L): (DataFrame, Int) = {
-    val nodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
-      .distinct().localCheckpoint()
-    var edges = pairs
+    // ONE oriented distinct pass carries BOTH graph views: self-loops are
+    // kept so the table's endpoints are exactly the node set (a doc paired
+    // only with itself still gets a label), and u != v filters it down to
+    // the proper edge set. One checkpoint + one count + (driver path) one
+    // collect, where separate node/edge materializations cost five driver
+    // round-trips — per-job overhead was the dominant cost of every
+    // clustering caller at bench scale (31 jobs for one q34 run).
+    val uv = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
-      .where(col("u") =!= col("v"))
       .distinct().localCheckpoint()
     var converged = false
     var rounds = 0
-    var prevCount = edges.count()
-    val integralIds = edges.schema.fields.forall(f =>
+    // includes self-loop rows; only a self-paired input can make this
+    // differ from the proper edge count, costing at most one extra
+    // convergence round in the star path
+    var prevCount = uv.count()
+    val integralIds = uv.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
     if (integralIds && prevCount <= driverCap)
-      return (unionFindLabels(nodes, edges), 0)
+      return (unionFindLabels(uv), 0)
+    val nodes = uv.select(col("u").as("id")).union(uv.select(col("v").as("id"))).distinct()
+    var edges = uv.where(col("u") =!= col("v"))
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // both sets are distinct, so equality == same count + empty anti-join;
@@ -822,18 +848,16 @@ object Dedup {
     * attaches the larger root under the smaller), so find(x) IS the
     * component's min id. Only reached under `driverCap` with integral ids.
     *
-    * Driver footprint: edges arrive as ONE packed Array[Long] (u,v
-    * interleaved — 32 MB at the 2M-edge cap, never millions of boxed Row
-    * objects), nodes as one Array[Long]; the union-find map itself is the
-    * larger resident cost (~50 B/node boxed), still bounded by 2x the edge
-    * cap plus the node count and independent of corpus size. */
-  private def unionFindLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val edgeArr: Array[Long] = edges
+    * Driver footprint: the oriented distinct (u, v) table (self-loops
+    * included — its endpoints ARE the node set) arrives as ONE packed
+    * Array[Long] (u,v interleaved — 32 MB at the 2M-edge cap, never
+    * millions of boxed Row objects); the union-find map itself is the
+    * larger resident cost (~50 B/node boxed), still bounded by 2x the
+    * edge cap and independent of corpus size. */
+  private def unionFindLabels(uv: DataFrame): DataFrame = {
+    val edgeArr: Array[Long] = uv
       .select(col("u").cast("long"), col("v").cast("long"))
       .rdd.mapPartitions(it => it.flatMap(r => Iterator(r.getLong(0), r.getLong(1))))
-      .collect()
-    val nodeArr: Array[Long] = nodes.select(col("id").cast("long"))
-      .rdd.mapPartitions(it => it.map(_.getLong(0)))
       .collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
@@ -852,10 +876,10 @@ object Dedup {
       if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
       i += 2
     }
-    nodeArr.foreach(add)
-    val spark = nodes.sparkSession
+    val spark = uv.sparkSession
     import spark.implicits._
-    nodeArr.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
   }
 
   /** First-wins dedup window (A1 at corpus level): one row per key, winner =

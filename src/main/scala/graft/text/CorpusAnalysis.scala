@@ -20,9 +20,10 @@ import org.apache.spark.sql.expressions.Window
  */
 object CorpusAnalysis {
 
-  /** Lowercase alnum tokens (same tokenizer as the dedup family). */
+  /** Lowercase alnum tokens (same tokenizer as the dedup family) —
+    * native single-pass expression, see graft.expr.TokensExpr. */
   private def tokens(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-z0-9]+"), x => x =!= "")
+    graft.expr.textops.tokens_of(textCol)
 
   /**
    * Top distinctive terms per document — the TF-IDF shape with an

@@ -64,7 +64,7 @@ object TextAnalysis {
     val t = col(textCol)
     df.withColumn("ws_tokens", size(split(trim(t), "\\s+")).cast("long"))
       .withColumn("word_tokens",
-        size(filter(split(lower(t), "[^a-z0-9]+"), x => x =!= "")).cast("long"))
+        size(graft.expr.textops.tokens_of(t)).cast("long"))
   }
 
   /** Deterministic hash-based sampling: keep a row iff the first byte of
@@ -281,7 +281,7 @@ object TextAnalysis {
   }
 
   private def alnumTokens(t: Column): Column =
-    filter(split(lower(t), "[^a-z0-9]+"), x => x =!= "")
+    graft.expr.textops.tokens_of(t)
 
   /** Non-distinct word 2-grams ("a b"): the repetition unit. */
   private def word2grams(toks: Column): Column = {
@@ -299,10 +299,21 @@ object TextAnalysis {
    * oracle matches bit-for-bit). The top-word count folds over the SORTED
    * token array (longest equal-run), map-side, no shuffle.
    */
-  /** (top-word run count over the sorted tokens, 2-gram array) — shared by
-    * [[repetitionStats]] and [[corpusFilter]]. */
-  private def repetitionPieces(t: Column): (Column, Column, Column) = {
+  /** (tokens, top-word run count, n_2grams, n_dup_2grams) — shared by
+    * [[repetitionStats]] and [[corpusFilter]]; native one-pass
+    * expressions (graft.expr.TopRunCount / TwoGramCounts — the former
+    * interpreted struct-accumulator fold allocated one struct per token;
+    * [[repetitionPiecesHof]] is the differential reference). */
+  private[graft] def repetitionPieces(t: Column): (Column, Column, Column, Column) = {
     val toks = alnumTokens(t)
+    val tg = graft.expr.textops.two_gram_counts(toks)
+    (toks, graft.expr.textops.top_run_count(toks),
+      tg.getField("n2"), tg.getField("ndup"))
+  }
+
+  /** The declarative (pure-HOF) formulation — differential reference. */
+  private[graft] def repetitionPiecesHof(t: Column): (Column, Column, Column, Column) = {
+    val toks = filter(split(lower(t), "[^a-z0-9]+"), x => x =!= "")
     val sorted = sort_array(toks)
     val zero = struct(lit(null).cast("string").as("prev"),
       lit(0L).as("run"), lit(0L).as("best"))
@@ -311,18 +322,20 @@ object TextAnalysis {
       struct(tok.as("prev"), newRun.as("run"),
         greatest(acc.getField("best"), newRun).as("best"))
     }).getField("best")
-    (toks, topCount, word2grams(toks))
+    val grams = word2grams(toks)
+    (toks, topCount, size(grams).cast("long"),
+      (size(grams) - size(array_distinct(grams))).cast("long"))
   }
 
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       maxTopWordFrac: Double = 0.2,
                       maxDup2gramFrac: Double = 0.2): DataFrame = {
-    val (toks, topCount, grams) = repetitionPieces(col(textCol))
+    val (toks, topCount, n2, ndup) = repetitionPieces(col(textCol))
     df.select(col(idCol),
         size(toks).cast("long").as("n_words"),
         topCount.as("top_word_count"),
-        size(grams).cast("long").as("n_2grams"),
-        (size(grams) - size(array_distinct(grams))).cast("long").as("n_dup_2grams"))
+        n2.as("n_2grams"),
+        ndup.as("n_dup_2grams"))
       .withColumn("top_word_frac",
         when(col("n_words") > 0,
           col("top_word_count").cast("double") / col("n_words").cast("double")).otherwise(0.0))
@@ -358,12 +371,11 @@ object TextAnalysis {
                    maxTopWordFrac: Double = 0.2,
                    maxDup2gramFrac: Double = 0.2): DataFrame = {
     val t = col(textCol)
-    val (toks, topCount, grams) = repetitionPieces(t)
+    val (toks, topCount, n2, ndup) = repetitionPieces(t)
     val topFrac = when(size(toks) > 0,
       topCount.cast("double") / size(toks).cast("double")).otherwise(0.0)
-    val dupFrac = when(size(grams) > 0,
-      (size(grams) - size(array_distinct(grams))).cast("double") /
-        size(grams).cast("double")).otherwise(0.0)
+    val dupFrac = when(n2 > 0,
+      ndup.cast("double") / n2.cast("double")).otherwise(0.0)
     val norm = lower(trim(regexp_replace(t, "\\s+", " ")))
     val flagged = qualityScore(langId(df, textCol), textCol)
       .withColumn("pass_quality", col("is_quality"))
