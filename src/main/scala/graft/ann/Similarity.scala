@@ -211,13 +211,18 @@ object Similarity {
     val hashed = emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("__h", md5(concat(lit("ivf:"), col("id").cast("string"))))
+    // the sample count (for the seed stride) rides in the SAME
+    // single-partition window pass that ranks the sample — no separate
+    // count() action: stride = max(1, n div k), identical integer math
+    // to the former driver-side max(1L, n / k)
+    val w = Window.orderBy(col("__h"), col("id"))
     val tr = hashed.orderBy(col("__h"), col("id")).limit(trainN)
-      .withColumn("__rk", row_number().over(Window.orderBy(col("__h"), col("id"))) - 1)
-      .localCheckpoint() // bounded (<= trainN rows); feeds count + seeds + Lloyd
-    val n = tr.count()
-    require(n > 0, "trainIvfCentroids: empty corpus — nothing to train on")
-    val stride = math.max(1L, n / k)
-    val seeds = tr.where(pmod(col("__rk"), lit(stride)) === 0)
+      .withColumn("__rk", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .localCheckpoint() // bounded (<= trainN rows); feeds seeds + Lloyd
+    val stride = greatest(lit(1L), expr(s"__n div ${k}L")) // integer div, exact
+    val seeds = tr.where(pmod(col("__rk"), stride) === 0)
       .orderBy("__rk").limit(k)
       .select(col("id").as("cid"), col("v").as("c"))
     // one Lloyd step over the sample: mean of assigned vectors, id-ordered fold

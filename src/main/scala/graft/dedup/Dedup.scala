@@ -441,22 +441,27 @@ object Dedup {
     // (candidate semi-join + two verify joins) and the expansion once, so
     // without truncation each consumer would re-run the corpus scan and
     // the collapse shuffle.
-    val famAgg = fam(df, idCol, textCol).groupBy("__fh").agg(
+    // family table and family signatures in ONE checkpoint: the sig
+    // column (32 longs — marginal next to the family's full text) is
+    // computed in the same pass as the collapse and materialized
+    // alongside it; famAgg/sigs are projections of the shared blocks.
+    // Signing the REP's raw text is family-invariant: members differ
+    // only in case/whitespace, which tokens() normalizes away. The
+    // bucket-cap guard reads its input twice (count + filter); off this
+    // checkpoint both passes are a band-slice/md5, not a second
+    // shingle+signature fold over every rep. The sig-null filter below
+    // is exactly [[minhashSignatures]]' has-at-least-one-shingle gate
+    // (< k tokens -> when() null).
+    val famSig = fam(df, idCol, textCol).groupBy("__fh").agg(
         min(struct(col("doc_id"), col("__text"))).as("__rep"),
         count(lit(1)).as("__n"))
       .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
         col("__rep.__text").as("__text"), col("__n"))
+      .withColumn("sig", when(size(tokens(col("__text"))) >= k,
+        graft.expr.signatures.minhash_sig(shingles(col("__text"), k), bands * rowsPerBand)))
       .localCheckpoint()
-    // family signatures, materialized once and keyed by __fh: bounded by
-    // (and far smaller than) the family table above — 32 longs per
-    // distinct text vs its full text. Signing the REP's raw text is
-    // family-invariant: members differ only in case/whitespace, which
-    // tokens() normalizes away. The bucket-cap guard reads its input
-    // twice (count + filter); off this checkpoint both passes are a
-    // band-slice/md5, not a second shingle+signature fold over every rep.
-    val sigs = minhashSignatures(
-        famAgg.select(col("__fh"), col("__text")), "__fh", "__text", k, bands * rowsPerBand)
-      .localCheckpoint()
+    val famAgg = famSig.drop("sig")
+    val sigs = famSig.where(col("sig").isNotNull).select(col("__fh"), col("sig"))
     // The pair tables are the chain's SMALL invariants (bounded by the
     // banding caps / verification threshold, orders below corpus size).
     // Materialize each once with localCheckpoint: cands feeds THREE joins

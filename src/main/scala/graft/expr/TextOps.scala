@@ -111,6 +111,44 @@ object TextCore {
     ArrayData.toArrayData(out)
   }
 
+  /** 60-bit md5 hash of every DISTINCT word k-shingle (first-occurrence
+    * order) — [[shingles]] composed with the per-gram hash of
+    * [[gramHashes]] without materializing the gram strings as rows
+    * (the contamination pipeline's corpus pass, which KeyCaps runs
+    * twice). Null / <k tokens -> empty. */
+  def shingleHashes(lowered: UTF8String, k: Int): ArrayData = {
+    if (lowered == null) return ArrayData.toArrayData(new Array[Long](0))
+    val parts = tokenSep.split(lowered.toString, -1)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < parts.length) { if (!parts(i).isEmpty) toks.add(parts(i)); i += 1 }
+    val n = toks.size
+    if (n < k) return ArrayData.toArrayData(new Array[Long](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder(toks.get(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks.get(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) {
+      d.reset()
+      val dig = d.digest(UTF8String.fromString(it.next()).getBytes)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+      out(m) = (v << 4) | ((dig(7) & 0xffL) >>> 4)
+      m += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Longest equal-run over the token array after grouping equal tokens
     * adjacently — the Gopher most-frequent-word count. Result is
     * sort-order-independent (only equal-adjacency matters), identical to
@@ -234,6 +272,37 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** shingle_hashes(lowered, k): 60-bit md5 per distinct word k-gram;
+  * null -> empty array. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs a string input, got ${child.dataType}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextCore.shingleHashes(child.eval(input).asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = child.genCode(ctx)
+    val vVal = if (child.nullable) s"${vGen.isNull} ? null : ${vGen.value}" else vGen.value
+    val code =
+      code"""
+         |${vGen.code}
+         |${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)} ${ev.value} =
+         |  graft.expr.TextCore.shingleHashes(($vVal), $k);
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** top_run_count(tokens): longest equal-token run (Gopher top-word
   * count); null -> null (the HOF aggregate over sort_array(null)). */
 case class TopRunCount(child: Expression) extends UnaryExpression {
@@ -304,6 +373,10 @@ object textops {
   /** gram_hashes(tokens, k): 60-bit md5 per positional k-gram. */
   def gram_hashes(tokens: Column, k: Int): Column =
     Bridge.column(GramHashes(Bridge.expression(tokens), k))
+
+  /** shingle_hashes(text, k): 60-bit md5 per distinct word k-gram. */
+  def shingle_hashes(text: Column, k: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(lower(text)), k))
 
   /** top_run_count(tokens): Gopher most-frequent-word count. */
   def top_run_count(tokens: Column): Column =

@@ -88,9 +88,11 @@ object CorpusAnalysis {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, benchOutOf256: Int = 16,
                     maxDf: Int = 10000): DataFrame = {
+    // distinct shingle HASHES in one native pass (graft.expr
+    // .ShingleHashes): the gram strings never materialize as rows, and
+    // the KeyCaps double pass below re-runs only this fused expression
     val raw = df.select(col(idCol).as("doc_id"),
-        explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
-      .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+        explode(graft.expr.textops.shingle_hashes(col(textCol), k)).as("h"))
     // broadcast-hot-set df cap (graft.skew.KeyCaps): over-cap shingles
     // (<= |rows|/maxDf keys — bounded) are counted with a combinable
     // groupBy and anti-filtered MAP-SIDE, so a corpus-ubiquitous
@@ -144,8 +146,7 @@ object CorpusAnalysis {
                          k: Int = 8, benchOutOf256: Int = 16,
                          maxDf: Int = 10000, fpp: Double = 0.01): DataFrame = {
     val raw = df.select(col(idCol).as("doc_id"),
-        explode(graft.dedup.Dedup.shingles(col(textCol), k)).as("sh"))
-      .select(col("doc_id"), graft.dedup.Dedup.md5Hash60(col("sh")).as("h"))
+        explode(graft.expr.textops.shingle_hashes(col(textCol), k)).as("h"))
     val bound = f"$benchOutOf256%02x"
     val isBench = substring(md5(col("doc_id").cast("string")), 1, 2) < bound
     val benchH = raw.where(isBench).select("h")

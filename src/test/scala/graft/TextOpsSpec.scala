@@ -102,6 +102,15 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ShingleHashes == explode(shingles)+md5Hash60 multiset (k=2 and k=8)") {
+    for (df <- Seq(docsDf, advDf); k <- Seq(2, 8)) {
+      assertColsEqual(df,
+        graft.expr.textops.shingle_hashes(col("text"), k),
+        transform(graft.dedup.Dedup.shinglesHof(col("text"), k),
+          g => graft.dedup.Dedup.md5Hash60(g)), s"shingle_hashes k=$k")
+    }
+  }
+
   test("interpreted (lambda) path matches codegen for tokens/shingles") {
     // evaluate the native expressions INSIDE a transform lambda (eval path)
     val df = docsDf.limit(50).unionByName(advDf)
