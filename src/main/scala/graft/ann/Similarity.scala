@@ -376,8 +376,11 @@ object Similarity {
       emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", cents)
       .localCheckpoint()
+    // no pair checkpoint: the pair set has exactly ONE consumer (the
+    // clustering uv table, itself checkpointed off the materialized
+    // `assigned` working set) — a driver round-trip bought nothing
     val pairs = inClusterPairs(assigned, threshold, maxBucket, site = "semdedup_keep_clusters")
-      .select("id_a", "id_b").localCheckpoint()
+      .select("id_a", "id_b")
     val groups = graft.dedup.Dedup.dedupClusters(pairs)
     val withCos = groups
       .join(assigned.select(col("id").as("doc_id"), col("v"), col("cid")), Seq("doc_id"))

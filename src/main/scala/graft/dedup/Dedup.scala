@@ -399,7 +399,13 @@ object Dedup {
   def lshDedupClusters(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                        threshold: Double = 0.5): DataFrame = {
-    val index = buildDedupIndex(df, idCol, textCol, k, bands, rowsPerBand, threshold)
+    // materializeVerified = false: in this one-shot shape the verified
+    // pair set has exactly ONE consumer (the clustering uv table, itself
+    // checkpointed), so the index-artifact checkpoint would be a wasted
+    // driver round-trip — epoch pipelines that keep the index
+    // (buildDedupIndex's default) still materialize it
+    val index = buildDedupIndex(df, idCol, textCol, k, bands, rowsPerBand, threshold,
+      materializeVerified = false)
     clustersFromIndex(index, fam(df, idCol, textCol))
   }
 
@@ -427,10 +433,15 @@ object Dedup {
     df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .withColumn("__fh", md5(lower(trim(regexp_replace(col("__text"), "\\s+", " ")))))
 
-  /** Build a fresh [[DedupIndex]] from a corpus (one full epoch). */
+  /** Build a fresh [[DedupIndex]] from a corpus (one full epoch).
+    * `materializeVerified = false` skips the verified-pair checkpoint for
+    * callers that consume the index exactly once immediately (the
+    * one-shot cluster path) — pass the default when the index is the
+    * persisted artifact. */
   def buildDedupIndex(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
-                      threshold: Double = 0.5): DedupIndex = {
+                      threshold: Double = 0.5,
+                      materializeVerified: Boolean = true): DedupIndex = {
     // one keeper row per family via a combinable min-struct aggregate
     // (doc_id leads the struct, so min == the min-id member's row): a
     // billion-copy family collapses to ONE row per map partition before
@@ -471,9 +482,10 @@ object Dedup {
     val cands = candidatesFromSigs(sigs, "__fh", bands, rowsPerBand, 10000,
         site = "lsh_chain_buckets")
       .localCheckpoint()
-    val verified = jaccardVerify(famAgg.select(col("__fh"), col("__text")),
+    val verified0 = jaccardVerify(famAgg.select(col("__fh"), col("__text")),
         cands, "__fh", "__text", k, threshold)
-      .select("id_a", "id_b").localCheckpoint()
+      .select("id_a", "id_b")
+    val verified = if (materializeVerified) verified0.localCheckpoint() else verified0
     DedupIndex(famAgg, sigs, verified, k, bands, rowsPerBand, threshold)
   }
 
@@ -534,17 +546,22 @@ object Dedup {
     // checkpoints (replaying a union of materialized RDDs costs nothing)
     // — the sandbox stand-in for what a table format does with appends +
     // MERGE INTO, without rewriting the index every epoch.
-    val newFamAgg = fam(newDocs, idCol, textCol).groupBy("__fh").agg(
+    // families the batch touches are re-aggregated (associative min/sum ==
+    // full-run famAgg); `touched` is the ONE delta-sized checkpoint — its
+    // key set EQUALS the batch's family-key set (the semi-join keeps only
+    // old families the batch names, the union adds the batch's own), so
+    // every downstream consumer that used to read a separate batch
+    // aggregate (the merged-table anti-join, the fresh-family anti-join)
+    // reads `touched` instead. The batch aggregate appears twice inside
+    // this one plan (semi-join probe + union arm) — identical subtrees,
+    // planned as a ReusedExchange, not a second scan.
+    val newFam = fam(newDocs, idCol, textCol).groupBy("__fh").agg(
         min(struct(col("doc_id"), col("__text"))).as("__rep"),
         count(lit(1)).as("__n"))
       .select(col("__fh"), col("__rep.doc_id").as("__keeper"),
         col("__rep.__text").as("__text"), col("__n"))
-      .localCheckpoint() // batch-bounded; feeds the touched re-agg + fresh-sig anti-join
-    // families the batch touches are re-aggregated (associative min/sum ==
-    // full-run famAgg); untouched families pass through from the old
-    // checkpoint via an anti-join on the batch-bounded touched-key set
-    val touched = index.famAgg.join(newFamAgg.select("__fh"), Seq("__fh"), "left_semi")
-      .unionByName(newFamAgg)
+    val touched = index.famAgg.join(newFam.select("__fh"), Seq("__fh"), "left_semi")
+      .unionByName(newFam)
       .groupBy("__fh").agg(
         min(struct(col("__keeper").as("doc_id"), col("__text"))).as("__rep"),
         sum(col("__n")).as("__n"))
@@ -552,10 +569,15 @@ object Dedup {
         col("__rep.__text").as("__text"), col("__n"))
       .localCheckpoint() // delta-sized
     val mergedFamAgg = index.famAgg
-      .join(newFamAgg.select("__fh"), Seq("__fh"), "left_anti")
+      .join(touched.select("__fh"), Seq("__fh"), "left_anti")
       .unionByName(touched)
-    // sign ONLY never-before-seen families — the old corpus is not re-read
-    val freshFams = newFamAgg.join(index.sigs.select("__fh"), Seq("__fh"), "left_anti")
+    // sign ONLY never-before-seen families — the old corpus is not
+    // re-read. For a never-seen family, `touched`'s row IS the batch's
+    // (nothing old to merge), and for an old-but-unsigned family (below
+    // the k-token shingle floor) the merged rep text is family-invariant
+    // modulo case/whitespace, which the signature normalizes away — so
+    // signing from `touched` equals signing from the batch aggregate.
+    val freshFams = touched.join(index.sigs.select("__fh"), Seq("__fh"), "left_anti")
     val freshSigs = minhashSignatures(
         freshFams.select(col("__fh"), col("__text")), "__fh", "__text", k, bands * rowsPerBand)
       .localCheckpoint() // delta-sized; feeds the banding flag join + the union
