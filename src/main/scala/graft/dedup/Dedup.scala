@@ -302,12 +302,20 @@ object Dedup {
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
-    grouped.select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    // native pair emission (graft.expr.PairEmit): one nested loop per
+    // bucket — the HOF formulation ran every lambda interpreted and
+    // `slice` allocated a fresh sub-array per outer element
+    grouped.select(explode(graft.expr.pairops.pair_emit(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
+
+  /** Declarative (pure-HOF) pair emission — differential reference for
+    * PairOpsSpec. */
+  private[graft] def pairsHof(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids) - i - 1),
+        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /**
    * MinHash-LSH candidate pairs: band the signature (`bands` x
@@ -637,15 +645,20 @@ object Dedup {
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("is_new")))).as("ms"))
       .where(size(col("ms")) >= 2)
-    grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
-        filter(
-          transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-            y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-              (x.getField("is_new") || y.getField("is_new")).as("any_new"))),
-          p => p.getField("any_new"))))).as("p"))
+    grouped.select(explode(graft.expr.pairops.pair_emit_new_only(col("ms"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
+
+  /** Declarative (pure-HOF) new-only pair emission — differential
+    * reference for PairOpsSpec. */
+  private[graft] def pairsNewOnlyHof(ms: Column): Column =
+    flatten(transform(ms, (x, i) =>
+      filter(
+        transform(slice(ms, i + lit(2), size(ms) - i - 1),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            (x.getField("is_new") || y.getField("is_new")).as("any_new"))),
+        p => p.getField("any_new"))))
 
   /**
    * Representative selection for near-dup clusters: a real dedup keeps the
@@ -733,16 +746,21 @@ object Dedup {
       .groupBy("block", "block_val")
       .agg(sort_array(collect_list(struct(col("id"), col("blocks")))).as("ms"))
       .where(size(col("ms")) >= 2)
-    grouped.select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            aggregate(zip_with(x.getField("blocks"), y.getField("blocks"),
-              (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")), lit(0L), _ + _)
-              .as("hamming")))))).as("p"))
+    grouped.select(explode(graft.expr.pairops.pair_emit_hamming(col("ms"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Declarative (pure-HOF) hamming pair emission — differential
+    * reference for PairOpsSpec. */
+  private[graft] def hammingPairsHof(ms: Column): Column =
+    flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms) - i - 1),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          aggregate(zip_with(x.getField("blocks"), y.getField("blocks"),
+            (p, q) => bit_count(p.bitwiseXOR(q)).cast("long")), lit(0L), _ + _)
+            .as("hamming")))))
 
   /** Embedding cosine near-duplicates over a bounded id range (brute-force
     * verify shape; the scale path buckets by hyperplane LSH first —
