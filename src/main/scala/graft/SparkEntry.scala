@@ -1618,7 +1618,7 @@ object SparkEntry {
     * integer-exact deterministic weight table. */
   private def qHashClassifier(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.hashClassifierScore(
-      t(spark, dir, "documents"), "doc_id", "text", nBuckets = 1 << 20)
+      graft.skew.Par.floor(t(spark, dir, "documents")), "doc_id", "text", nBuckets = 1 << 20)
 
   private val oHashClassifier =
     """WITH tk AS (SELECT doc_id,

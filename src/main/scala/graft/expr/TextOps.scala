@@ -171,6 +171,37 @@ object TextCore {
     best
   }
 
+  /** struct(n_tokens, score_int) of the hashed-linear-classifier fold
+    * (q68): per token, bucket = md5_60("w:" + tok) mod nBuckets (the
+    * 60-bit packing == conv(substring(md5(s),1,15),16,10), same as
+    * [[gramHashes]]), weight = (bucket * 2654435761) mod 8191 - 4095,
+    * summed left-to-right. All intermediates are non-negative and
+    * bounded (nBuckets is capped at the wrapper so bucket * 2654435761
+    * cannot overflow), so % == pmod and Long arithmetic is exact. The
+    * declarative `aggregate` fold ran every lambda interpreted and
+    * built the "w:"-prefixed string, the hex md5 string and a conv()
+    * parse per token; this is one digest per token, no strings. */
+  def classifierScore(toks: ArrayData, nBuckets: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val d = java.security.MessageDigest.getInstance("MD5")
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      d.reset()
+      d.update('w'.toByte)
+      d.update(':'.toByte)
+      d.update(toks.getUTF8String(i).getBytes)
+      val dig = d.digest()
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+      val h = (v << 4) | ((dig(7) & 0xffL) >>> 4)
+      score += (h % nBuckets) * 2654435761L % 8191L - 4095L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, score)
+  }
+
   /** (n_2grams, n_dup_2grams) of the non-distinct word 2-gram list — the
     * Gopher duplicate-2-gram signal, one pass with a hash set instead of
     * materializing the gram array twice (size + array_distinct). Null or
@@ -359,6 +390,32 @@ case class TwoGramCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** classifier_score(tokens, nBuckets): struct(n_tokens, score_int) of
+  * the hashed linear classifier; null tokens -> null (the HOF's
+  * size(null)/aggregate(null) propagation). */
+case class ClassifierScore(child: Expression, nBuckets: Long) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("score_int", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"classifier_score needs an array<string> input, got $other")
+    }
+
+  override def nullSafeEval(toks: Any): Any =
+    TextCore.classifierScore(toks.asInstanceOf[ArrayData], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.TextCore.classifierScore($t, ${nBuckets}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ClassifierScore =
+    copy(child = newChild)
+}
+
 /** Column-level surface. */
 object textops {
   /** tokens_of(text): lowercase alnum tokens — `Lower` stays a Catalyst
@@ -385,4 +442,13 @@ object textops {
   /** two_gram_counts(tokens): struct(n2, ndup) of the word 2-gram list. */
   def two_gram_counts(tokens: Column): Column =
     Bridge.column(TwoGramCounts(Bridge.expression(tokens)))
+
+  /** classifier_score(tokens, nBuckets): struct(n_tokens, score_int) of
+    * the hashed linear classifier. The cap keeps bucket * 2654435761
+    * within Long exactly, so native % == the HOF's pmod on every path. */
+  def classifier_score(tokens: Column, nBuckets: Long): Column = {
+    require(nBuckets > 0 && nBuckets <= Long.MaxValue / 2654435761L,
+      s"nBuckets must be in (0, 2^31.7]: $nBuckets")
+    Bridge.column(ClassifierScore(Bridge.expression(tokens), nBuckets))
+  }
 }

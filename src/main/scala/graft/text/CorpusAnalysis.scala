@@ -233,14 +233,22 @@ object CorpusAnalysis {
    * vocabulary actually covers the corpus it is about to encode
    * (per-source OOV mass is one further groupBy on this output).
    *
-   * Scale shape: ONE corpus pass — tokens explode map-side
+   * Scale shape: ONE corpus pass for the AUDIT ITSELF, given a
+   * precomputed vocabulary artifact — tokens explode map-side
    * (explode_outer so empty documents keep their row), vocabulary
    * membership is a broadcast hash LEFT join (the vocab is K rows), and
    * both counters collapse through a single doc-keyed combinable
    * groupBy whose per-doc row count is bounded by that document's own
-   * token count. No join-back, no second corpus scan. oov_rate is a
-   * single division (null for token-less docs), so engines agree
-   * bit-for-bit.
+   * token count. No join-back, no second corpus scan *by this
+   * operator*; a caller that derives `vocab` from the same documents
+   * table (as q85 does via [[vocabTopK]]) pays that derivation's own
+   * corpus pass in addition. oov_rate is a single division (null for
+   * token-less docs), so engines agree bit-for-bit.
+   *
+   * @param vocab the tokenizer vocabulary to audit against — REQUIRED
+   *              to expose the vocabulary entries in a string column
+   *              literally named `term` (as [[vocabTopK]]'s output
+   *              does); extra columns are ignored.
    */
   def oovAudit(df: DataFrame, idCol: String, textCol: String,
                vocab: DataFrame): DataFrame = {

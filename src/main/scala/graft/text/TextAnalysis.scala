@@ -432,6 +432,20 @@ object TextAnalysis {
    */
   def hashClassifierScore(df: DataFrame, idCol: String, textCol: String,
                           nBuckets: Int): DataFrame = {
+    // native one-digest-per-token fold (graft.expr.ClassifierScore) —
+    // the former `aggregate` HOF ran every lambda interpreted and built
+    // the "w:" concat, the md5 HEX string and a conv() parse per token;
+    // [[hashClassifierScoreHof]] is the differential reference
+    val cs = graft.expr.textops.classifier_score(alnumTokens(col(textCol)), nBuckets.toLong)
+    df.select(col(idCol), cs.getField("n_tokens").as("n_tokens"),
+        cs.getField("score_int").as("score_int"))
+      .withColumn("keep", col("score_int") > 0L)
+  }
+
+  /** The declarative (pure-HOF) formulation — differential reference for
+    * TextOpsSpec. */
+  private[graft] def hashClassifierScoreHof(df: DataFrame, idCol: String, textCol: String,
+                                            nBuckets: Int): DataFrame = {
     val toks = alnumTokens(col(textCol))
     val bucket = (t: Column) =>
       pmod(conv(substring(md5(concat(lit("w:"), t)), 1, 15), 16, 10).cast("long"),
@@ -572,7 +586,13 @@ object TextAnalysis {
       .drop("__rate", "n_max")
     val gate = conv(substring(md5(concat(lit("epoch:"), col(idCol).cast("string"))), 1, 10),
       16, 10).cast("long")
-    df.join(broadcast(rates), col(srcCol) === col("__src"))
+    // join only (idCol, srcCol): the output carries nothing else from the
+    // caller, and a caller df that happens to already have one of the
+    // internal column names (__src, n_source, base_repeats, gate_bound,
+    // n_repeats, repeat_idx, shard) must not hit an ambiguous-reference
+    // error or silent shadowing (ADVICE r05)
+    df.select(col(idCol), col(srcCol))
+      .join(broadcast(rates), col(srcCol) === col("__src"))
       .withColumn("n_repeats",
         col("base_repeats") + when(gate < col("gate_bound"), 1L).otherwise(0L))
       .where(col("n_repeats") > 0L)

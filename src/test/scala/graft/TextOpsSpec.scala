@@ -111,6 +111,20 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ClassifierScore == HOF hashClassifierScore (nBuckets 2^10 and 2^20)") {
+    for (src <- Seq(docsDf, advDf); nb <- Seq(1 << 10, 1 << 20)) {
+      val nat = graft.text.TextAnalysis.hashClassifierScore(src, "doc_id", "text", nb)
+      val hof = graft.text.TextAnalysis.hashClassifierScoreHof(src, "doc_id", "text", nb)
+      val n = nat.collect().map(r => r.get(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+      val h = hof.collect().map(r => r.get(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+      assert(n.nonEmpty && n.keySet == h.keySet)
+      n.foreach { case (k, v) =>
+        assert(v == h(k), s"classifier mismatch at doc_id=$k nb=$nb: $v vs ${h(k)}") }
+      assert(nat.schema.map(f => (f.name, f.dataType)) ==
+        hof.schema.map(f => (f.name, f.dataType)))
+    }
+  }
+
   test("interpreted (lambda) path matches codegen for tokens/shingles") {
     // evaluate the native expressions INSIDE a transform lambda (eval path)
     val df = docsDf.limit(50).unionByName(advDf)
